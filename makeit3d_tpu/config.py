@@ -1,0 +1,155 @@
+"""Flat configuration for the Make-It-3D TPU pipeline.
+
+Mirrors the reference CLI surface (reference: main.py:18-94) as a typed
+dataclass instead of an argparse namespace, plus TPU-specific knobs that
+replace the CUDA ray-marching buffer heuristics (reference:
+nerf/renderer.py:129-132, raymarching/raymarching.py:210-215) with static
+compile-time budgets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from typing import List, Optional, Tuple
+
+
+@dataclasses.dataclass
+class Config:
+    # ---- prompt / app mode (reference main.py:19-34) ----
+    text: Optional[str] = None
+    negative: str = ""
+    test: bool = False
+    final: bool = False
+    refine: bool = False
+    save_mesh: bool = False
+    eval_interval: int = 10
+    workspace: str = "workspace"
+    guidance: str = "stable-diffusion"  # stable-diffusion | clip | none
+    seed: int = 0
+    guidance_scale: float = 10.0
+    need_back: bool = False
+    suppress_face: bool = False
+    ref_path: Optional[str] = None
+
+    # ---- training (reference main.py:37-51) ----
+    iters: int = 10000
+    refine_iters: int = 3000
+    lr: float = 1e-3
+    min_lr: float = 1e-4
+    warm_iters: int = 500
+    ckpt: str = "latest"
+    max_steps: int = 512          # occupancy lattice length K per ray
+    num_steps: int = 64           # uniform samples (pure path)
+    upsample_steps: int = 32      # importance samples (pure path)
+    update_extra_interval: int = 16
+    max_ray_batch: int = 4096
+    albedo_iters: int = 1000
+    uniform_sphere_rate: float = 0.5
+    diff_iters: int = 400
+    step_range: Tuple[float, float] = (0.2, 0.6)
+
+    # ---- model (reference main.py:54-66) ----
+    bg_radius: float = -1.0
+    density_thresh: float = 10.0
+    blob_density: float = 5.0
+    blob_radius: float = 0.1
+    fp16: bool = False            # on TPU this selects bfloat16 compute
+    backbone: str = "hashgrid"    # hashgrid (tcnn equivalent) | vanilla
+    optim: str = "adan"           # adan | adam | adamw
+    sd_version: str = "2.0"
+    hf_key: Optional[str] = None
+    w: int = 128                  # train render width
+    h: int = 128                  # train render height
+
+    # ---- scene / dataset (reference main.py:69-92) ----
+    bound: float = 1.0
+    dt_gamma: float = 0.0
+    min_near: float = 0.1
+    radius_range: Tuple[float, float] = (1.0, 1.5)
+    fov: float = 20.0
+    fovy_range: Tuple[float, float] = (15.0, 25.0)
+    theta_range: Tuple[float, float] = (70.0, 110.0)
+    phi_range: Tuple[float, float] = (0.0, 360.0)
+
+    lambda_entropy: float = 1.0
+    lambda_opacity: float = 1e-3
+    lambda_orient: float = 1e-2
+    lambda_smooth: float = 1.0
+    lambda_img: float = 1e3
+    lambda_depth: float = 1.0
+    lambda_clip: float = 1.0
+
+    W: int = 800                  # full-res render width (eval/test/refine)
+    H: int = 800
+    radius: float = 3.0
+    light_theta: float = 60.0
+    light_phi: float = 0.0
+    max_spp: int = 1
+    max_depth: float = 10.0
+
+    # ---- TPU-native knobs (new; no reference equivalent) ----
+    # Static per-ray sample budget after occupancy compaction. Replaces the
+    # reference's dynamic mean_count buffer sizing (renderer.py:633-637) with
+    # a compile-time constant so one XLA program serves every step.
+    train_samples_per_ray: int = 96
+    eval_samples_per_ray: int = 192
+    # occupancy grid resolution (reference: renderer.py:106 grid_size=128)
+    grid_size: int = 128
+    # hash encoding (reference: nerf/network_tcnn.py:54-65)
+    hash_levels: int = 16
+    hash_features: int = 2
+    log2_hashmap_size: int = 19
+    base_resolution: int = 16
+    desired_resolution: int = 2048
+    # rendering compute dtype: float32 | bfloat16
+    compute_dtype: str = "float32"
+    # paths to locally available pretrained weights (no network egress):
+    sd_weights: Optional[str] = None
+    clip_weights: Optional[str] = None
+    vgg_weights: Optional[str] = None
+    dpt_weights: Optional[str] = None
+    # device mesh: number of devices along the data (ray/view) axis.
+    mesh_data: int = 1
+
+    # ---- derived ----
+    @property
+    def cascade(self) -> int:
+        # reference: nerf/renderer.py:105
+        return 1 + int(math.ceil(math.log2(max(self.bound, 1.0))))
+
+    @property
+    def per_level_scale(self) -> float:
+        # reference: nerf/network_tcnn.py:52
+        return float(
+            2.0 ** (math.log2(2048.0 * self.bound / 16.0) / (self.hash_levels - 1))
+        )
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        d = json.loads(s)
+        field_names = {f.name for f in dataclasses.fields(Config)}
+        d = {k: v for k, v in d.items() if k in field_names}
+        for k in ("step_range", "radius_range", "fovy_range", "theta_range", "phi_range"):
+            if k in d and isinstance(d[k], list):
+                d[k] = tuple(d[k])
+        return Config(**d)
+
+
+def stage1_config(**overrides) -> Config:
+    """Coarse stage 1: frontal hemisphere (reference README.md:67-70)."""
+    cfg = Config(iters=2000, phi_range=(135.0, 225.0))
+    return cfg.replace(**overrides)
+
+
+def stage2_config(**overrides) -> Config:
+    """Coarse stage 2 / --final: full 360 (reference README.md:71-74)."""
+    cfg = Config(iters=5000, albedo_iters=3500, phi_range=(0.0, 360.0), final=True)
+    return cfg.replace(**overrides)

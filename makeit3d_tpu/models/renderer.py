@@ -1,0 +1,276 @@
+"""Volume rendering paths.
+
+- render_occupancy: the production path — static-lattice occupancy
+  marching + fixed-budget compositing. TPU-native equivalent of
+  NeRFRenderer.run_cuda (reference: nerf/renderer.py:481-583).
+- render_pure: uniform + importance sampling, no occupancy grid. The
+  correctness oracle, equivalent of NeRFRenderer.run (reference:
+  nerf/renderer.py:332-479).
+
+Both are pure functions of (variables, rays, rng) and jit end-to-end; all
+branching (shading mode, front/back view) rides traced scalars so a single
+compiled program serves every training step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.composite import composite_rays, composite_weights_only
+from ..ops.grid import DensityGrid
+from ..ops.marching import march_rays, near_far_from_aabb, near_far_from_bound
+from ..ops.sample_pdf import sample_pdf
+from .field import (
+    apply_field_chunked,
+    safe_normalize,
+    sigma_albedo_normal_chunked,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Static (compile-time) render configuration."""
+
+    bound: float = 1.0
+    min_near: float = 0.1
+    max_steps: int = 512          # occupancy lattice length
+    n_samples: int = 96           # per-ray sample budget after compaction
+    num_steps: int = 64           # pure path: uniform samples
+    upsample_steps: int = 32      # pure path: importance samples
+    T_thresh: float = 1e-4
+    max_depth: float = 10.0
+    compute_smooth: bool = True   # lambda_smooth > 0
+    smooth_sigma: float = 1e-2
+    field_chunk: int = 1 << 17    # samples per rematerialized field chunk
+
+    @staticmethod
+    def from_config(cfg, training: bool = True) -> "RenderSettings":
+        return RenderSettings(
+            bound=cfg.bound,
+            min_near=cfg.min_near,
+            max_steps=cfg.max_steps,
+            n_samples=cfg.train_samples_per_ray if training else cfg.eval_samples_per_ray,
+            num_steps=cfg.num_steps,
+            upsample_steps=cfg.upsample_steps,
+            max_depth=cfg.max_depth,
+            compute_smooth=cfg.lambda_smooth > 0,
+        )
+
+
+def sample_light_d(key: jax.Array, rays_o: jnp.ndarray) -> jnp.ndarray:
+    """Random light near the camera so faces stay lit
+    (reference: nerf/renderer.py:496-499)."""
+    noise = jax.random.normal(key, (3,))
+    return safe_normalize(rays_o.reshape(-1, 3)[0] + noise)
+
+
+def render_occupancy(
+    field,
+    variables,
+    grid: DensityGrid,
+    rays_o: jnp.ndarray,      # [N, 3]
+    rays_d: jnp.ndarray,      # [N, 3]
+    settings: RenderSettings,
+    key: jax.Array,
+    training: bool = True,
+    shading_mode=0,
+    ambient_ratio=1.0,
+    light_d: Optional[jnp.ndarray] = None,
+    bg_color: Any = 1.0,
+    perturb: bool = True,
+    depth_scale: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    s = settings
+    N = rays_o.shape[0]
+    aabb = jnp.asarray([-s.bound] * 3 + [s.bound] * 3, jnp.float32)
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, s.min_near)
+
+    key, k_march, k_light, k_smooth = jax.random.split(key, 4)
+    if light_d is None:
+        light_d = sample_light_d(k_light, rays_o)
+
+    m = march_rays(
+        rays_o, rays_d, grid.occ, s.bound, nears, fars,
+        max_steps=s.max_steps, n_samples=s.n_samples,
+        perturb=perturb, key=k_march,
+    )
+
+    flat_x = m.xyzs.reshape(-1, 3)
+    flat_d = m.dirs.reshape(-1, 3)
+    sigmas, rgbs, normals = apply_field_chunked(
+        field, variables, flat_x, flat_d,
+        light_d=light_d, ratio=ambient_ratio, shading_mode=shading_mode,
+        chunk=s.field_chunk,
+    )
+    S = s.n_samples
+    sigmas = sigmas.reshape(N, S)
+    rgbs = rgbs.reshape(N, S, 3)
+    normals = normals.reshape(N, S, 3)
+
+    comp = composite_rays(sigmas, rgbs, m.dts, m.real_dts, m.valid, s.T_thresh)
+
+    results: Dict[str, jnp.ndarray] = {}
+    nvalid = jnp.maximum(jnp.sum(m.valid), 1)
+
+    if training:
+        # orientation loss: back-facing normals with positive weight are
+        # penalized (reference: renderer.py:513-518, CUDA-path variant
+        # uses w = 1 - exp(-sigma), not alpha*T)
+        w_orient = jax.lax.stop_gradient(1.0 - jnp.exp(-sigmas))
+        dot = jnp.sum(normals * m.dirs, axis=-1)
+        loss_orient = w_orient * jnp.maximum(dot, 0.0) ** 2
+        loss_orient = jnp.where(m.valid, loss_orient, 0.0)
+        results["loss_orient"] = jnp.sum(loss_orient) / nvalid
+
+        if s.compute_smooth:
+            # surface-normal smoothness (reference: renderer.py:521-524)
+            noise = jax.random.normal(k_smooth, flat_x.shape) * s.smooth_sigma
+            _, _, normals_perturb = sigma_albedo_normal_chunked(
+                field, variables, flat_x + noise, chunk=s.field_chunk
+            )
+            diff = jnp.abs(normals - normals_perturb.reshape(N, S, 3))
+            diff = jnp.where(m.valid[..., None], diff, 0.0)
+            results["loss_smooth"] = jnp.sum(diff) / (nvalid * 3)
+
+    weights_sum = comp.weights_sum
+    image = comp.image + (1.0 - weights_sum)[..., None] * bg_color
+    depth = comp.depth + (1.0 - weights_sum) * s.max_depth
+    if depth_scale is not None:
+        depth = depth * depth_scale.reshape(depth.shape)
+
+    if not training:
+        # composite normals (reference: renderer.py:547-549, 560-562)
+        normal_img = jnp.sum(
+            comp.weights[..., None] * (normals + 1.0) / 2.0, axis=-2
+        )
+        normal_img = normal_img + (1.0 - weights_sum)[..., None] * bg_color
+        results["normal"] = normal_img
+
+    results["image"] = image
+    results["depth"] = depth
+    results["weights_sum"] = weights_sum
+    results["mask"] = nears < fars
+    return results
+
+
+def render_pure(
+    field,
+    variables,
+    rays_o: jnp.ndarray,      # [N, 3]
+    rays_d: jnp.ndarray,      # [N, 3]
+    settings: RenderSettings,
+    key: jax.Array,
+    training: bool = True,
+    shading_mode=0,
+    ambient_ratio=1.0,
+    light_d: Optional[jnp.ndarray] = None,
+    bg_color: Any = 1.0,
+    perturb: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Uniform + PDF-importance sampling (reference: renderer.py:332-479)."""
+    s = settings
+    N = rays_o.shape[0]
+    nears, fars = near_far_from_bound(
+        rays_o, rays_d, s.bound, type="sphere", min_near=s.min_near
+    )
+    nears, fars = nears.reshape(N, 1), fars.reshape(N, 1)
+
+    key, k_z, k_light, k_pdf, k_smooth = jax.random.split(key, 5)
+    if light_d is None:
+        light_d = sample_light_d(k_light, rays_o)
+
+    T = s.num_steps
+    z_vals = jnp.linspace(0.0, 1.0, T)[None, :]
+    z_vals = nears + (fars - nears) * z_vals  # [N, T]
+    sample_dist = (fars - nears) / T
+    if perturb:
+        z_vals = z_vals + (jax.random.uniform(k_z, z_vals.shape) - 0.5) * sample_dist
+
+    def pts(z):
+        p = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+        return jnp.clip(p, -s.bound, s.bound)
+
+    xyzs = pts(z_vals)
+    dens = field.apply(variables, xyzs.reshape(-1, 3), method="density")
+    sigmas = dens["sigma"].reshape(N, T)
+
+    if s.upsample_steps > 0:
+        # importance re-sampling on the coarse weights
+        # (reference: renderer.py:381-413)
+        deltas = jnp.diff(z_vals, axis=-1)
+        deltas = jnp.concatenate(
+            [deltas, jnp.broadcast_to(sample_dist, (N, 1))], axis=-1
+        )
+        alphas = 1.0 - jnp.exp(-deltas * jax.lax.stop_gradient(sigmas))
+        shifted = jnp.concatenate(
+            [jnp.ones((N, 1)), 1.0 - alphas + 1e-15], axis=-1
+        )
+        weights = alphas * jnp.cumprod(shifted, axis=-1)[:, :-1]
+
+        z_mid = z_vals[:, :-1] + 0.5 * deltas[:, :-1]
+        new_z = sample_pdf(
+            z_mid, weights[:, 1:-1], s.upsample_steps,
+            det=not training, key=k_pdf,
+        )
+        new_z = jax.lax.stop_gradient(new_z)
+
+        z_all = jnp.concatenate([z_vals, new_z], axis=-1)
+        order = jnp.argsort(z_all, axis=-1)
+        z_vals = jnp.take_along_axis(z_all, order, axis=-1)
+        xyzs = pts(z_vals)
+
+    Tt = z_vals.shape[-1]
+    deltas = jnp.diff(z_vals, axis=-1)
+    deltas = jnp.concatenate(
+        [deltas, jnp.broadcast_to(sample_dist, (N, 1))], axis=-1
+    )
+
+    flat_x = xyzs.reshape(-1, 3)
+    flat_d = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape).reshape(-1, 3)
+    sigmas, rgbs, normals = apply_field_chunked(
+        field, variables, flat_x, flat_d,
+        light_d=light_d, ratio=ambient_ratio, shading_mode=shading_mode,
+        chunk=s.field_chunk,
+    )
+    sigmas = sigmas.reshape(N, Tt)
+    rgbs = rgbs.reshape(N, Tt, 3)
+    normals = normals.reshape(N, Tt, 3)
+
+    valid = jnp.ones_like(sigmas, dtype=bool)
+    weights = composite_weights_only(sigmas, deltas, valid, T_thresh=0.0)
+    weights_sum = jnp.sum(weights, axis=-1)
+
+    results: Dict[str, jnp.ndarray] = {}
+    normal_map = jnp.sum(normals * weights[..., None], axis=-2)
+    results["normal"] = normal_map
+
+    if training:
+        # pure-path orientation loss uses the compositing weights
+        # (reference: renderer.py:434-437)
+        dirs = jnp.broadcast_to(rays_d[:, None, :], normals.shape)
+        dot = jnp.sum(normals * dirs, axis=-1)
+        loss_orient = jax.lax.stop_gradient(weights) * jnp.maximum(dot, 0.0) ** 2
+        results["loss_orient"] = jnp.mean(jnp.sum(loss_orient, axis=-1))
+
+        if s.compute_smooth:
+            noise = jax.random.normal(k_smooth, flat_x.shape) * s.smooth_sigma
+            _, _, normals_perturb = sigma_albedo_normal_chunked(
+                field, variables, flat_x + noise, chunk=s.field_chunk
+            )
+            results["loss_smooth"] = jnp.mean(
+                jnp.abs(normals - normals_perturb.reshape(N, Tt, 3))
+            )
+
+    depth = jnp.sum(weights * z_vals, axis=-1)
+    image = jnp.sum(weights[..., None] * rgbs, axis=-2)
+    image = image + (1.0 - weights_sum)[..., None] * bg_color
+
+    results["image"] = image
+    results["depth"] = depth
+    results["weights_sum"] = weights_sum
+    results["mask"] = (nears < fars).reshape(N)
+    return results

@@ -1,0 +1,69 @@
+"""Transmittance compositing over fixed-budget samples.
+
+TPU-native equivalent of kernel_composite_rays_train_forward/backward
+(reference: raymarching/src/raymarching.cu:500-693). The CUDA code walks
+each ray serially, accumulating alpha-weighted color with an early exit at
+T < T_thresh, and implements a hand-derived backward for dL/dsigma and
+dL/drgb. Here the same math is expressed with cumulative ops:
+
+    alpha_i = 1 - exp(-sigma_i * dt_i)
+    T_i     = prod_{j<i} (1 - alpha_j)  =  exp(-cumsum_exclusive(sigma*dt))
+    w_i     = alpha_i * T_i
+
+XLA autodiff through this closed form yields exactly the reference's
+hand-derived gradients (verified in tests/test_composite.py against the
+CUDA formula at raymarching.cu:655-667). The early-termination cutoff
+(T < T_thresh) becomes a stop-gradient mask, matching the CUDA behavior of
+simply not visiting post-cutoff samples.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Composited(NamedTuple):
+    weights_sum: jnp.ndarray  # [N]
+    depth: jnp.ndarray        # [N]
+    image: jnp.ndarray        # [N, 3]
+    weights: jnp.ndarray      # [N, S] per-sample compositing weights
+
+
+def composite_rays(
+    sigmas: jnp.ndarray,     # [N, S]
+    rgbs: jnp.ndarray,       # [N, S, C] (C=3 for color; any C composites)
+    dts: jnp.ndarray,        # [N, S] marching deltas
+    real_dts: jnp.ndarray,   # [N, S] depth deltas (incl. skipped gaps)
+    valid: jnp.ndarray,      # [N, S] bool
+    T_thresh: float = 1e-4,
+) -> Composited:
+    sigmas = jnp.where(valid, sigmas, 0.0)
+    sdt = sigmas * dts  # [N, S]
+    alphas = 1.0 - jnp.exp(-sdt)
+    # exclusive cumulative optical depth -> transmittance before sample i
+    csum = jnp.cumsum(sdt, axis=-1)
+    T_before = jnp.exp(-(csum - sdt))
+    # early-exit: a sample contributes iff transmittance on arrival >= thresh
+    # (raymarching.cu:554-557 breaks after the sample that crosses it)
+    contribute = jax.lax.stop_gradient(T_before >= T_thresh) & valid
+    weights = jnp.where(contribute, alphas * T_before, 0.0)
+
+    weights_sum = jnp.sum(weights, axis=-1)
+    t_cum = jnp.cumsum(real_dts, axis=-1)
+    depth = jnp.sum(weights * t_cum, axis=-1)
+    image = jnp.sum(weights[..., None] * rgbs, axis=-2)
+    return Composited(weights_sum=weights_sum, depth=depth, image=image, weights=weights)
+
+
+def composite_weights_only(sigmas, dts, valid, T_thresh: float = 1e-4):
+    """Just the per-sample weights (used by the pure/oracle path)."""
+    sigmas = jnp.where(valid, sigmas, 0.0)
+    sdt = sigmas * dts
+    alphas = 1.0 - jnp.exp(-sdt)
+    csum = jnp.cumsum(sdt, axis=-1)
+    T_before = jnp.exp(-(csum - sdt))
+    contribute = jax.lax.stop_gradient(T_before >= T_thresh) & valid
+    return jnp.where(contribute, alphas * T_before, 0.0)

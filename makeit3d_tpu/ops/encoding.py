@@ -1,0 +1,160 @@
+"""Positional encodings.
+
+- FreqEncoder: sin/cos frequency encoding (reference: encoding.py:5-42).
+- HashGridEncoder: multiresolution hash-grid encoding equivalent to
+  tiny-cuda-nn's HashGrid (reference: nerf/network_tcnn.py:54-65). The CUDA
+  original gathers per-thread; here each (point, level) does an 8-corner
+  gather from a [L, T, F] table and trilinearly interpolates — XLA lowers
+  the gathers to efficient TPU dynamic-slices, and the backward scatter-add
+  is a segment-sum, race-free by construction.
+
+All functions are shape-static and jit/vmap/grad friendly.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Spatial hash primes used by Instant-NGP / tiny-cuda-nn.
+_PRIMES = (1, 2654435761, 805459861)
+
+
+class FreqEncoder:
+    """out = [x, sin(2^0 x), cos(2^0 x), ..., sin(2^k x), cos(2^k x)]."""
+
+    def __init__(self, input_dim: int = 3, multires: int = 6):
+        self.input_dim = input_dim
+        self.n_freqs = multires
+        self.freq_bands = np.asarray(
+            2.0 ** np.linspace(0.0, multires - 1, multires), dtype=np.float32
+        )
+        self.output_dim = input_dim + input_dim * multires * 2
+
+    def __call__(self, x: jnp.ndarray, bound: float = 1.0) -> jnp.ndarray:
+        # reference passes raw coords (encoding.py:29-42); bound unused
+        xb = x[..., None, :] * self.freq_bands[:, None]  # [..., F, D]
+        sin = jnp.sin(xb)
+        cos = jnp.cos(xb)
+        enc = jnp.concatenate(
+            [x, sin.reshape(*x.shape[:-1], -1), cos.reshape(*x.shape[:-1], -1)],
+            axis=-1,
+        )
+        return enc
+
+
+def _level_resolutions(n_levels: int, base_resolution: int, per_level_scale: float):
+    return [
+        int(math.floor(base_resolution * per_level_scale**lvl))
+        for lvl in range(n_levels)
+    ]
+
+
+class HashGridEncoder:
+    """Multiresolution hash grid: 16 levels x 2 features, 2^19 table.
+
+    Parameters live in a single [L, T, F] array (a pytree leaf), so the
+    encoder itself is stateless and composable with jax transforms.
+    """
+
+    def __init__(
+        self,
+        n_levels: int = 16,
+        n_features: int = 2,
+        log2_hashmap_size: int = 19,
+        base_resolution: int = 16,
+        per_level_scale: float | None = None,
+        desired_resolution: int = 2048,
+        bound: float = 1.0,
+    ):
+        if per_level_scale is None:
+            per_level_scale = 2.0 ** (
+                math.log2(desired_resolution * bound / base_resolution)
+                / (n_levels - 1)
+            )
+        self.n_levels = n_levels
+        self.n_features = n_features
+        self.table_size = 1 << log2_hashmap_size
+        self.resolutions = np.asarray(
+            _level_resolutions(n_levels, base_resolution, per_level_scale),
+            dtype=np.int32,
+        )
+        self.output_dim = n_levels * n_features
+
+    def init_params(self, key: jax.Array, dtype=jnp.float32) -> jnp.ndarray:
+        # tcnn initializes U(-1e-4, 1e-4)
+        return jax.random.uniform(
+            key,
+            (self.n_levels, self.table_size, self.n_features),
+            dtype=dtype,
+            minval=-1e-4,
+            maxval=1e-4,
+        )
+
+    def __call__(self, params: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        """x: [N, 3] in [0, 1] -> [N, L*F] features.
+
+        Levels run under lax.scan so XLA reuses one level's worth of
+        temporaries instead of keeping 16 levels live at once (an
+        unrolled loop OOMed a full-image render on a 16G v5e). Within a
+        level the 8 corners accumulate one at a time with [N]-sized
+        weight temporaries — never a materialized [N, 8, 3] buffer.
+
+        All levels use the spatial hash (the dense-indexing fast path of
+        tiny-cuda-nn's low levels is dropped: at 2^19 slots, sub-res-80
+        levels collide with negligible probability, and one uniform code
+        path scans cleanly).
+        """
+        resolutions = jnp.asarray(self.resolutions, jnp.float32)  # [L]
+        tsize = jnp.uint32(self.table_size)
+
+        def level_fn(carry, level_in):
+            table, res = level_in  # [T, F], scalar
+            xs = x * res  # cells span [0, res]
+            x0f = jnp.floor(xs)
+            w = xs - x0f  # [N, 3]
+            x0 = jnp.asarray(x0f, jnp.uint32)
+            acc = jnp.zeros((x.shape[0], self.n_features), table.dtype)
+            for c in range(8):
+                ox, oy, oz = c & 1, (c >> 1) & 1, (c >> 2) & 1
+                h = (x0[:, 0] + jnp.uint32(ox)) * jnp.uint32(_PRIMES[0])
+                h = h ^ ((x0[:, 1] + jnp.uint32(oy)) * jnp.uint32(_PRIMES[1]))
+                h = h ^ ((x0[:, 2] + jnp.uint32(oz)) * jnp.uint32(_PRIMES[2]))
+                idx = h % tsize
+                wc = (
+                    (w[:, 0] if ox else 1.0 - w[:, 0])
+                    * (w[:, 1] if oy else 1.0 - w[:, 1])
+                    * (w[:, 2] if oz else 1.0 - w[:, 2])
+                )
+                acc = acc + table[idx] * wc[:, None]
+            return carry, acc
+
+        _, feats = jax.lax.scan(level_fn, None, (params, resolutions))
+        # feats: [L, N, F] -> [N, L*F]
+        return jnp.moveaxis(feats, 0, 1).reshape(x.shape[0], -1)
+
+
+def get_encoder(encoding: str, input_dim: int = 3, multires: int = 6, **kw):
+    """Encoder factory (reference: encoding.py:44-75)."""
+    if encoding == "None":
+        enc = lambda x, **k: x
+        enc.output_dim = input_dim
+        return enc, input_dim
+    if encoding in ("frequency", "frequency_torch"):
+        enc = FreqEncoder(input_dim=input_dim, multires=multires)
+        return enc, enc.output_dim
+    if encoding in ("hashgrid", "tiledgrid"):
+        enc = HashGridEncoder(
+            n_levels=kw.get("num_levels", 16),
+            n_features=kw.get("level_dim", 2),
+            log2_hashmap_size=kw.get("log2_hashmap_size", 19),
+            base_resolution=kw.get("base_resolution", 16),
+            desired_resolution=kw.get("desired_resolution", 2048),
+            bound=kw.get("bound", 1.0),
+        )
+        return enc, enc.output_dim
+    raise NotImplementedError(f"unknown encoding {encoding}")

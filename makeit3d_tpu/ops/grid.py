@@ -1,0 +1,179 @@
+"""Occupancy / density grid state and maintenance.
+
+TPU-native replacement for the reference's CUDA density-grid machinery:
+  - morton3d / morton3d_invert: bit-trick Morton codes as vectorized int
+    ops (reference: raymarching/src/raymarching.cu:56-81, 212-260). On TPU
+    the Morton layout is not needed for locality, but the ops are part of
+    the API surface and useful for checkpoint compatibility.
+  - packbits: threshold the density grid into a uint8 bitfield
+    (reference: raymarching.cu:263-300).
+  - DensityGrid: the [cascade, 128^3] EMA density grid plus a dense uint8
+    occupancy volume [cascade, H, H, H] used by the marcher's vectorized
+    lookups (replaces the bitfield+Morton addressing of the CUDA path).
+
+Grid maintenance follows reference nerf/renderer.py:586-639: every 16
+steps, query the field at jittered cell centers per cascade, EMA-max
+update with decay 0.95, threshold at min(mean_density, density_thresh).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _expand_bits(v: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 10 bits of v out to every 3rd bit (uint32)."""
+    v = jnp.asarray(v, jnp.uint32)
+    v = (v * jnp.uint32(0x00010001)) & jnp.uint32(0xFF0000FF)
+    v = (v * jnp.uint32(0x00000101)) & jnp.uint32(0x0F00F00F)
+    v = (v * jnp.uint32(0x00000011)) & jnp.uint32(0xC30C30C3)
+    v = (v * jnp.uint32(0x00000005)) & jnp.uint32(0x49249249)
+    return v
+
+
+def morton3d(coords: jnp.ndarray) -> jnp.ndarray:
+    """[N, 3] int coords in [0, 1024) -> [N] 30-bit Morton codes."""
+    x = _expand_bits(coords[..., 0])
+    y = _expand_bits(coords[..., 1])
+    z = _expand_bits(coords[..., 2])
+    return jnp.asarray(x | (y << 1) | (z << 2), jnp.int32)
+
+
+def _compact_bits(v: jnp.ndarray) -> jnp.ndarray:
+    v = jnp.asarray(v, jnp.uint32) & jnp.uint32(0x49249249)
+    v = (v | (v >> 2)) & jnp.uint32(0xC30C30C3)
+    v = (v | (v >> 4)) & jnp.uint32(0x0F00F00F)
+    v = (v | (v >> 8)) & jnp.uint32(0xFF0000FF)
+    v = (v | (v >> 16)) & jnp.uint32(0x000003FF)
+    return v
+
+
+def morton3d_invert(codes: jnp.ndarray) -> jnp.ndarray:
+    """[N] Morton codes -> [N, 3] coords."""
+    codes = jnp.asarray(codes, jnp.uint32)
+    return jnp.stack(
+        [
+            jnp.asarray(_compact_bits(codes >> 0), jnp.int32),
+            jnp.asarray(_compact_bits(codes >> 1), jnp.int32),
+            jnp.asarray(_compact_bits(codes >> 2), jnp.int32),
+        ],
+        axis=-1,
+    )
+
+
+def packbits(grid: jnp.ndarray, thresh: float) -> jnp.ndarray:
+    """[C, H^3] density -> [C*H^3//8] uint8 bitfield (LSB-first like CUDA)."""
+    occ = (grid.reshape(-1) > thresh).astype(jnp.uint8)
+    occ = occ.reshape(-1, 8)
+    # bit k of byte = cell (8*i + k), matching kernel_packbits bit order
+    shifts = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
+    return jnp.sum(occ.astype(jnp.int32) * shifts[None, :], axis=-1).astype(jnp.uint8)
+
+
+class DensityGrid(NamedTuple):
+    """Density/occupancy state (a pytree; donated through the train loop)."""
+
+    grid: jnp.ndarray        # [C, H^3] float32 EMA density, -1 = untouched
+    occ: jnp.ndarray         # [C, H, H, H] uint8 occupancy (0/1)
+    mean_density: jnp.ndarray  # scalar f32
+    iter_density: jnp.ndarray  # scalar i32
+
+    @property
+    def grid_size(self) -> int:
+        return self.occ.shape[-1]
+
+    @property
+    def cascade(self) -> int:
+        return self.occ.shape[0]
+
+
+def init_density_grid(cascade: int, grid_size: int = 128, occupied: bool = True) -> DensityGrid:
+    """Fresh grid. `occupied=True` starts fully occupied so the first steps
+    (before the first update) march everywhere, mirroring the reference's
+    zero-initialized grid + first update at step 0 (nerf/utils.py:969-972)."""
+    return DensityGrid(
+        grid=jnp.zeros((cascade, grid_size**3), jnp.float32),
+        occ=jnp.full((cascade, grid_size, grid_size, grid_size), 1 if occupied else 0, jnp.uint8),
+        mean_density=jnp.zeros((), jnp.float32),
+        iter_density=jnp.zeros((), jnp.int32),
+    )
+
+
+def update_density_grid(
+    state: DensityGrid,
+    density_fn,
+    key: jax.Array,
+    bound: float,
+    density_thresh: float,
+    decay: float = 0.95,
+) -> DensityGrid:
+    """One maintenance pass (reference: nerf/renderer.py:586-631).
+
+    density_fn: [M, 3] coords in [-bound, bound] -> [M] sigma. Must be
+    jit-traceable; the whole update compiles to one program.
+    """
+    C = state.cascade
+    H = state.grid_size
+    coords = jnp.stack(
+        jnp.meshgrid(
+            jnp.arange(H, dtype=jnp.float32),
+            jnp.arange(H, dtype=jnp.float32),
+            jnp.arange(H, dtype=jnp.float32),
+            indexing="ij",
+        ),
+        axis=-1,
+    ).reshape(-1, 3)  # [H^3, 3] in [0, H)
+    xyzs = 2 * coords / (H - 1) - 1  # [-1, 1]
+
+    new_levels = []
+    for cas in range(C):
+        cas_bound = min(2.0**cas, bound)
+        half_grid = cas_bound / H
+        cas_xyzs = xyzs * (cas_bound - half_grid)
+        key, sub = jax.random.split(key)
+        noise = (jax.random.uniform(sub, cas_xyzs.shape) * 2 - 1) * half_grid
+        sigmas = density_fn(cas_xyzs + noise).reshape(-1)
+        sigmas = jax.lax.stop_gradient(sigmas)
+        new_levels.append(sigmas)
+    tmp = jnp.stack(new_levels)  # [C, H^3]
+
+    grid = jnp.maximum(state.grid * decay, tmp)
+    mean_density = jnp.mean(grid)
+    thresh = jnp.minimum(mean_density, density_thresh)
+    occ = (grid > thresh).astype(jnp.uint8).reshape(C, H, H, H)
+    return DensityGrid(
+        grid=grid,
+        occ=occ,
+        mean_density=mean_density,
+        iter_density=state.iter_density + 1,
+    )
+
+
+def occupancy_lookup(
+    occ: jnp.ndarray, xyz: jnp.ndarray, bound: float
+) -> jnp.ndarray:
+    """Vectorized occupancy query.
+
+    occ: [C, H, H, H] uint8; xyz: [..., 3] in [-bound, bound].
+    Mip level per point from its position (reference: raymarching.cu:42-48
+    mip_from_pos); with dt_gamma=0 the dt-based level never dominates.
+    Returns [...] bool.
+    """
+    C, H = occ.shape[0], occ.shape[-1]
+    mx = jnp.max(jnp.abs(xyz), axis=-1)
+    if C > 1:
+        # smallest level whose bound contains the point: level = ceil(log2(mx)) for mx>1
+        lev = jnp.ceil(jnp.log2(jnp.maximum(mx, 1e-8)))
+        level = jnp.clip(lev, 0, C - 1).astype(jnp.int32)
+    else:
+        level = jnp.zeros(mx.shape, jnp.int32)
+    mip_bound = jnp.minimum(2.0 ** level.astype(jnp.float32), bound)
+    n = jnp.clip(
+        0.5 * (xyz / mip_bound[..., None] + 1) * H, 0, H - 1
+    ).astype(jnp.int32)
+    flat = ((level * H + n[..., 0]) * H + n[..., 1]) * H + n[..., 2]
+    vals = occ.reshape(-1)[flat]
+    return vals > 0

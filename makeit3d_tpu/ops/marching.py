@@ -1,0 +1,159 @@
+"""Static-shape occupancy ray marching.
+
+TPU-native redesign of the CUDA two-pass atomic-compaction marcher
+(reference: raymarching/src/raymarching.cu:311-490 kernel_march_rays_train,
+:906-1021 kernel_march_rays). The CUDA kernel walks each ray with a DDA,
+skipping empty voxels, and compacts a variable number of samples per ray
+into flat buffers via atomicAdd — data-dependent shapes that XLA cannot
+compile. Here the same sampling is reformulated with static shapes:
+
+  With the default dt_gamma=0 the step size is the constant
+  dt = 2*sqrt(3)/max_steps (raymarching.cu:345), so every candidate sample
+  lies on a fixed per-ray lattice  t_k = near + (k + noise) * dt,
+  k = 0..K-1.  We probe occupancy at all K lattice points with one
+  vectorized gather, then compact the first S occupied points per ray with
+  a cumsum + searchsorted (the TPU analogue of the CUDA atomic compaction —
+  race-free, sort-free, and fully batched). Rays keep a [N, S] layout with
+  a validity mask instead of the CUDA (ray_id, offset, count) index.
+
+The reference caps total samples via the mean_count running average,
+dropping overflow rays (raymarching/raymarching.py:210-215); here the cap
+is the static S = samples-per-ray budget, which drops the tail of
+over-long rays instead — the same accuracy/speed trade, recompilation-free.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .grid import occupancy_lookup
+
+SQRT3 = math.sqrt(3.0)
+
+
+def near_far_from_aabb(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    aabb: jnp.ndarray,
+    min_near: float = 0.05,
+):
+    """Slab-test ray/AABB intersection (reference: raymarching.cu:91-156).
+
+    rays_o, rays_d: [N, 3]; aabb: [6] (xmin,ymin,zmin,xmax,ymax,zmax).
+    Returns nears, fars: [N]. Non-hitting rays get near=far=1e9 like the
+    CUDA kernel (well, the CUDA near_far kernel clamps near to min_near and
+    produces near>far -> no samples; we mirror the cube variant of
+    near_far_from_bound at renderer.py:64-74).
+    """
+    eps = 1e-15
+    tmin = (aabb[:3] - rays_o) / (rays_d + eps)
+    tmax = (aabb[3:] - rays_o) / (rays_d + eps)
+    near = jnp.max(jnp.minimum(tmin, tmax), axis=-1)
+    far = jnp.min(jnp.maximum(tmin, tmax), axis=-1)
+    miss = far < near
+    near = jnp.where(miss, 1e9, near)
+    far = jnp.where(miss, 1e9, far)
+    near = jnp.maximum(near, min_near)
+    return near, far
+
+
+def near_far_from_bound(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    bound: float,
+    type: str = "cube",
+    min_near: float = 0.05,
+):
+    """reference: nerf/renderer.py:52-76. Returns [..., 1] near/far."""
+    if type == "sphere":
+        radius = jnp.linalg.norm(rays_o, axis=-1, keepdims=True)
+        near = radius - bound
+        far = radius + bound
+        near = jnp.maximum(near, min_near)
+        return near, far
+    aabb = jnp.asarray([-bound, -bound, -bound, bound, bound, bound], jnp.float32)
+    near, far = near_far_from_aabb(
+        rays_o.reshape(-1, 3), rays_d.reshape(-1, 3), aabb, min_near
+    )
+    shape = rays_o.shape[:-1] + (1,)
+    return near.reshape(shape), far.reshape(shape)
+
+
+class MarchedRays(NamedTuple):
+    """Fixed-budget marched samples for a batch of rays."""
+
+    xyzs: jnp.ndarray    # [N, S, 3] sample positions (clamped to bound)
+    dirs: jnp.ndarray    # [N, S, 3]
+    ts: jnp.ndarray      # [N, S]   distance along ray
+    dts: jnp.ndarray     # [N, S]   marching delta (constant dt)
+    real_dts: jnp.ndarray  # [N, S] t_i - t_{i-1} incl. skipped gaps (depth)
+    valid: jnp.ndarray   # [N, S]   bool
+
+
+def march_rays(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    occ: jnp.ndarray,
+    bound: float,
+    nears: jnp.ndarray,
+    fars: jnp.ndarray,
+    max_steps: int = 512,
+    n_samples: int = 96,
+    perturb: bool = False,
+    key: Optional[jax.Array] = None,
+) -> MarchedRays:
+    """Occupancy-compacted marching with static [N, S] output.
+
+    rays_o/rays_d: [N, 3]; occ: [C, H, H, H] uint8; nears/fars: [N].
+    """
+    N = rays_o.shape[0]
+    K = max_steps
+    S = n_samples
+    dt = 2.0 * SQRT3 / max_steps  # dt_min with dt_gamma=0 (raymarching.cu:345)
+
+    if perturb:
+        assert key is not None
+        noise = jax.random.uniform(key, (N, 1))
+    else:
+        noise = jnp.zeros((N, 1))
+
+    k = jnp.arange(K, dtype=jnp.float32)[None, :]  # [1, K]
+    t = nears[:, None] + (k + noise) * dt  # [N, K]
+    in_range = t < fars[:, None]
+
+    pos = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
+    pos = jnp.clip(pos, -bound, bound)
+    occ_mask = occupancy_lookup(occ, pos, bound) & in_range  # [N, K]
+
+    # --- compaction: indices of the first S occupied lattice points ---
+    cum = jnp.cumsum(occ_mask.astype(jnp.int32), axis=-1)  # [N, K]
+    total = cum[:, -1]  # [N]
+    want = jnp.arange(1, S + 1, dtype=jnp.int32)  # [S]
+    # slot s <- smallest k with cum[k] == s+1  (vectorized searchsorted)
+    slot_idx = jax.vmap(lambda c: jnp.searchsorted(c, want, side="left"))(cum)
+    slot_idx = jnp.minimum(slot_idx, K - 1)  # [N, S]
+    valid = want[None, :] <= total[:, None]  # [N, S]
+
+    t_s = jnp.take_along_axis(t, slot_idx, axis=-1)  # [N, S]
+    t_s = jnp.where(valid, t_s, 0.0)
+    xyzs = rays_o[:, None, :] + rays_d[:, None, :] * t_s[..., None]
+    xyzs = jnp.clip(xyzs, -bound, bound)
+    xyzs = jnp.where(valid[..., None], xyzs, 0.0)
+    dirs = jnp.broadcast_to(rays_d[:, None, :], (N, S, 3))
+
+    # real delta: distance to previous kept sample, used only for depth
+    # accumulation. The CUDA kernel records t_after_step - last_t
+    # (raymarching.cu:459-461), so the cumulative depth coordinate of
+    # sample i is t_i + dt - t0; the (t0 - dt) seed below reproduces that.
+    t0 = nears[:, None] + noise * dt
+    prev = jnp.concatenate([t0 - dt, t_s[:, :-1]], axis=-1)
+    real_dts = jnp.where(valid, t_s - prev, 0.0)
+    dts = jnp.where(valid, dt, 0.0)
+
+    return MarchedRays(
+        xyzs=xyzs, dirs=dirs, ts=t_s, dts=dts, real_dts=real_dts, valid=valid
+    )
