@@ -1,0 +1,518 @@
+"""Training orchestration for the coarse stage.
+
+reference: nerf/utils.py:196-1027 (Trainer). Architecture differences
+from the torch original, by design:
+
+- One jitted train step: render -> losses -> Adan update compiles to a
+  single XLA program per (front|novel) variant. The reference's two
+  backward passes (SDS via latents.backward + main loss.backward,
+  utils.py:983 / sd.py:171) collapse into one value_and_grad because the
+  SDS gradient is expressed as sum(latents * stop_grad(w(t) (eps_hat -
+  eps))) inside the loss.
+- Branch flags (is_large, diffusion phase, shading mode) are traced
+  scalars; is_front is static (2 compiled variants), matching the
+  front-every-4th schedule (provider.py:159).
+- Occupancy-grid maintenance is its own jitted program, run every
+  update_extra_interval steps (utils.py:969-972).
+- Host work per step: pose sampling (numpy) and scalar logging only.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cameras import ViewSampler
+from ..config import Config
+from ..models.field import make_field, SHADING_ALBEDO, SHADING_LAMBERTIAN, SHADING_TEXTURELESS
+from ..models.renderer import RenderSettings, render_occupancy, render_pure
+from ..ops.grid import DensityGrid, init_density_grid, update_density_grid
+from ..utils.workspace import (
+    Workspace,
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+    save_depth_u16,
+    save_image_u8,
+    write_video,
+)
+from .losses import (
+    entropy_loss,
+    img_l1,
+    masked_pearson_depth,
+    opacity_loss,
+    resize_bilinear,
+)
+from .optimizer import make_lr_schedule, make_optimizer
+
+
+
+def build_loss_fn(cfg, field, settings, guidance, is_front: bool):
+    """The per-step loss as a pure function (front|novel variants).
+
+    reference: nerf/utils.py:461-574 train_step. See the class docstring
+    for the single-backward SDS reformulation.
+    """
+
+    def loss_and_metrics(params, grid, key, batch):
+        H, W = cfg.h, cfg.w
+        k_render, k_bg, k_guide = jax.random.split(key, 3)
+        bg_color = jax.random.uniform(k_bg, (3,))
+
+        out = render_occupancy(
+            field, params, grid,
+            batch["rays_o"], batch["rays_d"], settings, k_render,
+            training=True,
+            shading_mode=batch["shading_mode"],
+            ambient_ratio=batch["ambient_ratio"],
+            bg_color=bg_color,
+            perturb=True,
+            depth_scale=batch["depth_scale"],
+        )
+        pred_rgb = out["image"].reshape(H, W, 3)
+        pred_depth = out["depth"].reshape(H, W)
+        pred_ws = out["weights_sum"].reshape(H, W)
+
+        # per-step random-background composite of the reference image
+        # (reference: utils.py:491-493)
+        ref_rgba = batch["ref_rgba"]  # [512, 512, 4]
+        gt_rgb = ref_rgba[..., :3] * ref_rgba[..., 3:] + bg_color * (
+            1.0 - ref_rgba[..., 3:]
+        )
+
+        pred_rgb512 = resize_bilinear(pred_rgb, (512, 512), align_corners=True)
+        pred_depth512 = resize_bilinear(pred_depth, (512, 512), align_corners=True)
+
+        metrics = {}
+        is_large = batch["is_large"]         # traced 0/1
+        diff_phase = batch["diff_phase"]     # traced 0/1 (step >= diff_iters)
+
+        loss = 0.0
+        if cfg.lambda_opacity > 0:
+            l_op = opacity_loss(pred_ws)
+            loss += cfg.lambda_opacity * l_op * (1.0 + 9.0 * is_large)
+            metrics["loss_opacity"] = l_op
+        if cfg.lambda_entropy > 0:
+            l_ent = entropy_loss(pred_ws)
+            loss += cfg.lambda_entropy * l_ent * (1.0 + 9.0 * diff_phase)
+            metrics["loss_entropy"] = l_ent
+        if cfg.lambda_orient > 0:
+            # reference adds lambda*loss once plus (1x | 10x) more
+            # (utils.py:538-544): effective 2x pre-diff, 11x after
+            l_or = out["loss_orient"]
+            loss += cfg.lambda_orient * l_or * (2.0 + 9.0 * diff_phase)
+            metrics["loss_orient"] = l_or
+        if cfg.lambda_smooth > 0:
+            loss += cfg.lambda_smooth * out["loss_smooth"]
+            metrics["loss_smooth"] = out["loss_smooth"]
+
+        if is_front:
+            l_img = img_l1(pred_rgb512, gt_rgb)
+            l_depth = masked_pearson_depth(
+                pred_depth512, batch["ref_depth"], batch["obj_mask"]
+            )
+            loss += cfg.lambda_img * l_img + cfg.lambda_depth * l_depth
+            metrics["loss_img"] = l_img
+            metrics["loss_depth"] = l_depth
+        else:
+            if guidance is not None:
+                # novel view: CLIP image + text losses
+                # (reference: utils.py:561-563)
+                l_clip = guidance.clip_losses(
+                    pred_rgb512, gt_rgb, batch["text_z_clip"]
+                )
+                loss += cfg.lambda_clip * l_clip
+                metrics["loss_clip"] = l_clip
+                # SDS / denoise guidance once past diff_iters
+                # (reference: utils.py:512-517)
+                l_sds = guidance.train_step_loss(
+                    k_guide,
+                    batch["text_z"],
+                    pred_rgb512,
+                    gt_rgb,
+                    is_large,
+                    cfg.guidance_scale,
+                )
+                loss += diff_phase * l_sds
+                metrics["loss_sds"] = l_sds
+
+        metrics["loss"] = loss
+        metrics["ws_mean"] = jnp.mean(pred_ws)
+        aux = {
+            "pred_rgb": pred_rgb512,
+            "pred_depth": pred_depth512,
+            "gt_rgb": gt_rgb,
+        }
+        return loss, (metrics, aux)
+
+    return loss_and_metrics
+
+
+def build_train_step(cfg, field, optimizer, settings, guidance, is_front: bool):
+    """loss -> grad -> Adan update, as one jittable pure function."""
+    loss_fn = build_loss_fn(cfg, field, settings, guidance, is_front)
+
+    def train_step(params, opt_state, grid, key, batch):
+        gfn = jax.value_and_grad(
+            lambda p: loss_fn(p, grid, key, batch), has_aux=True
+        )
+        (_, (metrics, aux)), grads = gfn(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, metrics, aux
+
+    return train_step
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: Config,
+        field=None,
+        guidance=None,
+        ref_rgba: Optional[np.ndarray] = None,   # [1, 512, 512, 4] in [0,1]
+        ref_depth: Optional[np.ndarray] = None,  # [512, 512] normalized
+        ref_mask: Optional[np.ndarray] = None,   # [512, 512] bool, True=bg
+        workspace: Optional[str] = None,
+        name: str = "df",
+        seed: int = 0,
+        use_checkpoint: str = "latest",
+    ):
+        self.cfg = cfg
+        self.name = name
+        self.field = field if field is not None else make_field(cfg)
+        self.guidance = guidance
+        self.ws = Workspace(workspace or cfg.workspace, name)
+        self.ws.dump_settings(cfg)
+        self._prep_ref(ref_rgba, ref_depth, ref_mask)
+
+        self.key = jax.random.PRNGKey(seed)
+        self.key, k_init = jax.random.split(self.key)
+        self.params = self.field.init(
+            k_init, jnp.zeros((8, 3)), jnp.zeros((8, 3))
+        )
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.params))
+        self.ws.log(f"[INFO] #parameters: {n_params}")
+
+        self.schedule = make_lr_schedule(cfg)
+        self.optimizer = make_optimizer(cfg, self.schedule)
+        self.opt_state = self.optimizer.init(self.params)
+
+        self.grid = init_density_grid(cfg.cascade, cfg.grid_size)
+        self.settings_train = RenderSettings.from_config(cfg, training=True)
+        self.settings_eval = RenderSettings.from_config(cfg, training=False)
+
+        self.epoch = 0
+        self.global_step = 0
+        self.stats: Dict[str, Any] = {"loss": []}
+        self._host_rng = np.random.default_rng(seed)
+
+        # text conditioning (reference: utils.py:370-401)
+        self.text_z = None
+        if guidance is not None and cfg.text is not None:
+            self.prepare_text_embeddings()
+
+        self._build_jits()
+
+        if use_checkpoint == "latest":
+            path = latest_checkpoint(self.ws.ckpt_dir)
+            if path:
+                self.load_checkpoint(path)
+            else:
+                self.ws.log("[WARN] No checkpoint found, model randomly initialized.")
+        elif use_checkpoint not in ("scratch", None):
+            self.load_checkpoint(use_checkpoint)
+
+    # ------------------------------------------------------------------
+    def prepare_text_embeddings(self):
+        cfg = self.cfg
+        self.text = [cfg.text]
+        self.text_z = [self.guidance.get_text_embeds([cfg.text], [cfg.negative])]
+        if cfg.need_back:
+            back = f"{cfg.text}, back view"
+            neg = cfg.negative + (", " if cfg.negative else "") + "face"
+            self.text.append(back)
+            self.text_z.append(self.guidance.get_text_embeds([back], [neg]))
+        else:
+            self.text.append(cfg.text)
+            self.text_z.append(self.text_z[0])
+
+    # ------------------------------------------------------------------
+    def _build_jits(self):
+        cfg = self.cfg
+
+        @jax.jit
+        def update_grid(params, grid, key):
+            return update_density_grid(
+                grid,
+                lambda x: self.field.apply(params, x, method="density")["sigma"],
+                key,
+                cfg.bound,
+                cfg.density_thresh,
+            )
+
+        self._update_grid = update_grid
+        self._train_step = {
+            front: jax.jit(build_train_step(
+                cfg, self.field, self.optimizer, self.settings_train,
+                self.guidance, is_front=front))
+            for front in (True, False)
+        }
+
+        @functools.partial(jax.jit, static_argnames=("n_samples",))
+        def render_chunk(params, grid, rays_o, rays_d, key, bg_color,
+                         depth_scale, n_samples=None):
+            s = self.settings_eval
+            if n_samples is not None:
+                import dataclasses as _dc
+                s = _dc.replace(s, n_samples=n_samples)
+            return render_occupancy(
+                self.field, params, grid, rays_o, rays_d, s, key,
+                training=False, shading_mode=SHADING_ALBEDO,
+                ambient_ratio=1.0, bg_color=bg_color, perturb=False,
+                depth_scale=depth_scale,
+            )
+
+        self._render_chunk = render_chunk
+
+    # ------------------------------------------------------------------
+    def _prep_ref(self, ref_rgba, ref_depth, ref_mask):
+        if ref_rgba is None:
+            ref_rgba = np.zeros((1, 512, 512, 4), np.float32)
+        if ref_depth is None:
+            ref_depth = np.full((512, 512), 0.5, np.float32)
+        if ref_mask is None:
+            ref_mask = np.zeros((512, 512), bool)
+        self.ref_rgba = jnp.asarray(np.asarray(ref_rgba).reshape(512, 512, 4))
+        self.ref_depth = jnp.asarray(np.asarray(ref_depth).reshape(512, 512))
+        # object mask = NOT background (reference passes ~depth_mask,
+        # utils.py:556)
+        self.obj_mask = jnp.asarray(
+            ~np.asarray(ref_mask).reshape(512, 512), jnp.float32
+        )
+
+    # ------------------------------------------------------------------
+    def train(self, max_epochs: Optional[int] = None, steps_per_epoch: int = 100,
+              valid_sampler: Optional[ViewSampler] = None):
+        cfg = self.cfg
+        if max_epochs is None:
+            max_epochs = math.ceil(cfg.iters / steps_per_epoch)
+        sampler = ViewSampler(cfg, type="train", H=cfg.h, W=cfg.w,
+                              size=steps_per_epoch, seed=cfg.seed)
+        start = time.time()
+        for epoch in range(self.epoch + 1, max_epochs + 1):
+            self.epoch = epoch
+            self.train_one_epoch(sampler)
+            if epoch % cfg.eval_interval == 0:
+                if valid_sampler is not None:
+                    self.evaluate(valid_sampler)
+                self.save_checkpoint()
+        self.ws.log(
+            f"[INFO] training takes {(time.time() - start) / 60:.4f} minutes."
+        )
+
+    def train_one_epoch(self, sampler: ViewSampler):
+        cfg = self.cfg
+        total_loss, n = 0.0, 0
+        lr = float(self.schedule(jnp.asarray(self.global_step + 1)))
+        self.ws.log(
+            f"==> Start Training {self.ws.root} Epoch {self.epoch}, lr={lr:.6f} ..."
+        )
+        for i in range(sampler.size):
+            if self.global_step % cfg.update_extra_interval == 0:
+                self.key, k = jax.random.split(self.key)
+                self.grid = self._update_grid(self.params, self.grid, k)
+            batch_np = sampler.get(i)
+            metrics, aux = self.step(batch_np)
+            loss = float(metrics["loss"])
+            total_loss += loss
+            n += 1
+            self.ws.scalar("train/loss", loss, self.global_step)
+            if self.global_step % 10 == 0:
+                parts = " ".join(
+                    f"{k}={float(v):.4f}" for k, v in sorted(metrics.items())
+                )
+                self.ws.log(f"step {self.global_step}: {parts}")
+            if self.global_step % 100 == 0 or self.global_step == 1:
+                save_image_u8(
+                    os.path.join(self.ws.train_dir, f"{self.global_step}.png"),
+                    np.asarray(aux["pred_rgb"]),
+                )
+                save_image_u8(
+                    os.path.join(self.ws.train_dir, f"{self.global_step}_gt.png"),
+                    np.asarray(aux["gt_rgb"]),
+                )
+        self.stats["loss"].append(total_loss / max(n, 1))
+        self.ws.log(f"==> Finished Epoch {self.epoch}.")
+
+    def step(self, view) -> tuple:
+        """One optimization step from a sampled ViewBatch."""
+        cfg = self.cfg
+        self.global_step += 1
+        gs = self.global_step
+
+        # shading schedule (reference: utils.py:470-483)
+        if gs < cfg.albedo_iters or view.is_front:
+            shading, ambient = SHADING_ALBEDO, 1.0
+        else:
+            r = self._host_rng.random()
+            if r > 0.5:
+                shading, ambient = SHADING_ALBEDO, 1.0
+            elif r > 0.4:
+                shading, ambient = SHADING_TEXTURELESS, 0.1
+            else:
+                shading, ambient = SHADING_LAMBERTIAN, 0.1
+
+        diff_phase = 1.0 if gs >= cfg.diff_iters else 0.0
+        text_idx = 1 if view.is_large else 0
+
+        batch = {
+            "rays_o": jnp.asarray(view.rays_o.reshape(-1, 3)),
+            "rays_d": jnp.asarray(view.rays_d.reshape(-1, 3)),
+            "depth_scale": jnp.asarray(view.depth_scale.reshape(-1)),
+            "ref_rgba": self.ref_rgba,
+            "ref_depth": self.ref_depth,
+            "obj_mask": self.obj_mask,
+            "is_large": jnp.asarray(1.0 if view.is_large else 0.0),
+            "diff_phase": jnp.asarray(diff_phase),
+            "shading_mode": jnp.asarray(shading, jnp.int32),
+            "ambient_ratio": jnp.asarray(ambient, jnp.float32),
+        }
+        if self.guidance is not None and self.text_z is not None:
+            batch["text_z"] = self.text_z[text_idx]
+            batch["text_z_clip"] = self.guidance.clip_text_embeds(
+                self.text[text_idx]
+            )
+
+        self.key, k = jax.random.split(self.key)
+        self.params, self.opt_state, metrics, aux = self._train_step[
+            view.is_front
+        ](self.params, self.opt_state, self.grid, k, batch)
+        return metrics, aux
+
+    # ------------------------------------------------------------------
+    def render_image(self, view, bg_color=1.0, n_samples=None):
+        """Staged full-image render (reference: renderer.py:655-668)."""
+        cfg = self.cfg
+        H, W = view.H, view.W
+        rays_o = view.rays_o.reshape(-1, 3)
+        rays_d = view.rays_d.reshape(-1, 3)
+        depth_scale = view.depth_scale.reshape(-1)
+        chunks = []
+        B = cfg.max_ray_batch
+        self.key, k = jax.random.split(self.key)
+        bg = jnp.asarray(np.broadcast_to(bg_color, (3,)), jnp.float32)
+        for head in range(0, H * W, B):
+            tail = min(head + B, H * W)
+            ro = jnp.asarray(rays_o[head:tail])
+            rd = jnp.asarray(rays_d[head:tail])
+            ds = jnp.asarray(depth_scale[head:tail])
+            pad = B - (tail - head)
+            if pad:
+                ro = jnp.pad(ro, ((0, pad), (0, 0)))
+                rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
+                ds = jnp.pad(ds, (0, pad))
+            out = self._render_chunk(
+                self.params, self.grid, ro, rd, k, bg, ds,
+                n_samples=n_samples,
+            )
+            chunks.append({k2: np.asarray(v)[: tail - head] for k2, v in out.items()
+                           if k2 in ("image", "depth", "weights_sum", "normal")})
+        res = {
+            k2: np.concatenate([c[k2] for c in chunks], axis=0)
+            for k2 in chunks[0]
+        }
+        res["image"] = res["image"].reshape(H, W, 3)
+        res["depth"] = res["depth"].reshape(H, W)
+        res["weights_sum"] = res["weights_sum"].reshape(H, W)
+        if "normal" in res:
+            res["normal"] = res["normal"].reshape(H, W, 3)
+        return res
+
+    def evaluate(self, sampler: ViewSampler, name: Optional[str] = None):
+        """Validation orbit renders (reference: utils.py:1030-1073)."""
+        os.makedirs(self.ws.valid_dir, exist_ok=True)
+        name = name or f"{self.name}_ep{self.epoch:04d}"
+        for i in range(sampler.size):
+            view = sampler.get(i)
+            res = self.render_image(view)
+            save_image_u8(
+                os.path.join(self.ws.valid_dir, f"{name}_{i + 1:04d}_rgb.png"),
+                res["image"],
+            )
+            save_image_u8(
+                os.path.join(self.ws.valid_dir, f"{name}_{i + 1:04d}_depth.png"),
+                res["depth"] / max(res["depth"].max(), 1e-6),
+            )
+        self.ws.log(f"++> Evaluate epoch {self.epoch} Finished.")
+
+    def test(self, sampler: ViewSampler, save_path: Optional[str] = None,
+             name: Optional[str] = None, write_image: bool = True,
+             write_video_out: bool = True):
+        """Orbit test renders + mp4 + poses (reference: utils.py:671-744)."""
+        save_path = save_path or self.ws.result_dir
+        os.makedirs(save_path, exist_ok=True)
+        name = name or f"{self.name}_ep{self.epoch:04d}"
+        all_rgb, all_normal, all_depth, all_poses = [], [], [], []
+        for i in range(sampler.size):
+            view = sampler.get(i)
+            res = self.render_image(view, bg_color=1.0)
+            rgb = (np.clip(res["image"], 0, 1) * 255).astype(np.uint8)
+            mask = ((res["weights_sum"] > 0.9) * 255).astype(np.uint8)
+            normal = (np.clip(res.get("normal", res["image"]), 0, 1) * 255).astype(np.uint8)
+            all_rgb.append(rgb)
+            all_normal.append(normal)
+            all_depth.append((np.clip(res["depth"], 0, 1) * 255).astype(np.uint8))
+            all_poses.append(view.poses[0])
+            if write_image:
+                import cv2
+
+                cv2.imwrite(os.path.join(save_path, f"{name}_{i:04d}_rgb.png"),
+                            cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+                cv2.imwrite(os.path.join(save_path, f"{name}_{i:04d}_normal.png"),
+                            cv2.cvtColor(normal, cv2.COLOR_RGB2BGR))
+                save_depth_u16(os.path.join(save_path, f"{name}_{i:04d}_depth.png"),
+                               res["depth"])
+                cv2.imwrite(os.path.join(save_path, f"{name}_{i:04d}_mask.png"), mask)
+        if write_video_out:
+            write_video(os.path.join(save_path, f"{name}_rgb.mp4"), all_rgb)
+            write_video(os.path.join(save_path, f"{name}_normal.mp4"), all_normal)
+        np.save(os.path.join(save_path, f"{name}_poses.npy"),
+                np.stack(all_poses, axis=0))
+        self.ws.log("==> Finished Test.")
+
+    # ------------------------------------------------------------------
+    def _ckpt_state(self):
+        return {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "grid": self.grid,
+            "epoch": self.epoch,
+            "global_step": self.global_step,
+        }
+
+    def save_checkpoint(self, name: Optional[str] = None):
+        name = name or f"{self.name}_ep{self.epoch:04d}"
+        path = save_checkpoint(self.ws.ckpt_dir, name, self._ckpt_state())
+        self.ws.log(f"[INFO] saved checkpoint {path}")
+
+    def load_checkpoint(self, path: str):
+        state = load_checkpoint(path, self._ckpt_state())
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.grid = DensityGrid(*state["grid"])
+        self.epoch = int(state["epoch"])
+        self.global_step = int(state["global_step"])
+        self.ws.log(
+            f"[INFO] load at epoch {self.epoch}, global step {self.global_step}"
+        )
+
+    def set_reference(self, ref_rgba, ref_depth, ref_mask):
+        self._prep_ref(ref_rgba, ref_depth, ref_mask)
