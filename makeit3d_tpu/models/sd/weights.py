@@ -1,0 +1,167 @@
+"""Pretrained-weight porting: torch/safetensors state dicts -> flax trees.
+
+The flax modules in this package name their submodules after the
+diffusers / transformers state-dict keys, so porting is a mechanical
+rename + transpose:
+
+  torch "down_blocks.0.resnets.1.conv1.weight"  (OIHW)
+   -> flax ("down_blocks_0_resnets_1", "conv1", "kernel")  (HWIO)
+
+Rules:
+  - numeric path segments merge into their predecessor (a.0.b -> a_0.b)
+  - Linear weight -> kernel, transposed; Conv weight -> kernel, OIHW->HWIO
+  - norm weight -> scale; Embedding weight -> embedding
+Works for the VAE, the UNet, and HF CLIP text/vision models.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .safetensors / .bin / .pt state dict to numpy."""
+    if path.endswith(".safetensors"):
+        try:
+            from safetensors.numpy import load_file
+
+            return dict(load_file(path))
+        except ImportError:
+            from safetensors.torch import load_file  # pragma: no cover
+
+            return {k: v.numpy() for k, v in load_file(path).items()}
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.float().numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+
+
+def _merge_numeric(segments):
+    out = []
+    for s in segments:
+        if s.isdigit() and out:
+            out[-1] = f"{out[-1]}_{s}"
+        else:
+            out.append(s)
+    return out
+
+
+# torch key prefixes stripped before mapping (wrapper module names)
+_STRIP_PREFIXES = ("text_model.", "vision_model.", "model.", "module.")
+# segments dropped entirely (flax flattens these wrappers)
+_DROP_SEGMENTS = {"encoder_layers": "layers", "embeddings": None, "encoder": None}
+
+
+def port_torch_to_flax(
+    torch_sd: Dict[str, np.ndarray],
+    flax_params: Dict[str, Any],
+    verbose: bool = False,
+) -> Dict[str, Any]:
+    """Fill a flax params template from a torch state dict.
+
+    Unmatched torch keys are reported (verbose) and skipped; unmatched
+    flax leaves keep their initialization. Returns a NEW params tree.
+    """
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(flax_params)[0]
+    flax_index: Dict[tuple, Any] = {}
+    for path, leaf in flat:
+        keys = tuple(getattr(p, "key", getattr(p, "name", str(p))) for p in path)
+        flax_index[keys] = leaf
+
+    new_leaves = dict(flax_index)
+    matched, missed = 0, []
+
+    for tkey, val in torch_sd.items():
+        key = tkey
+        for pref in _STRIP_PREFIXES:
+            if key.startswith(pref):
+                key = key[len(pref):]
+        segs = key.split(".")
+        # transformers CLIP: embeddings.* and encoder.layers.* flatten
+        segs = [s for s in segs if s not in ("embeddings", "encoder")]
+        leaf_name = segs[-1]
+        segs = _merge_numeric(segs[:-1])
+
+        candidates = []
+        if leaf_name == "weight":
+            candidates = [("kernel",), ("scale",), ("embedding",)]
+        elif leaf_name == "bias":
+            candidates = [("bias",)]
+        else:  # e.g. position_embedding saved as a plain parameter
+            candidates = [(leaf_name,), ()]
+
+        hit = None
+        for cand in candidates:
+            for prefix in (tuple(segs), tuple(segs[:-1]) + (segs[-1],) if segs else ()):
+                k = tuple(segs) + cand if cand else tuple(segs)
+                if k in flax_index:
+                    hit = k
+                    break
+            if hit:
+                break
+        if hit is None:
+            missed.append(tkey)
+            continue
+
+        target = flax_index[hit]
+        v = np.asarray(val)
+        if hit[-1] == "kernel":
+            if v.ndim == 4:
+                v = v.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+            elif v.ndim == 2:
+                v = v.T
+        if hit[-1] == "embedding" and v.ndim != np.ndim(target):
+            pass
+        if v.shape != target.shape:
+            # position embeddings stored [1, N, C] vs [N, C], etc.
+            if v.squeeze().shape == tuple(target.shape):
+                v = v.squeeze()
+            else:
+                missed.append(f"{tkey} (shape {v.shape} vs {target.shape})")
+                continue
+        new_leaves[hit] = v.astype(np.asarray(target).dtype)
+        matched += 1
+
+    if verbose:
+        print(f"[port] matched {matched}/{len(torch_sd)} torch tensors")
+        for m in missed[:20]:
+            print("  [miss]", m)
+
+    # rebuild the tree
+    def rebuild(tree, prefix=()):
+        if isinstance(tree, dict):
+            return {k: rebuild(v, prefix + (k,)) for k, v in tree.items()}
+        return new_leaves[prefix]
+
+    import jax
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: new_leaves[
+            tuple(getattr(p, "key", getattr(p, "name", str(p))) for p in path)
+        ],
+        flax_params,
+    )
+
+
+def find_weight_file(root: str, subfolder: str) -> str:
+    """Locate a diffusers-layout weight file under root/subfolder."""
+    cand = []
+    sub = os.path.join(root, subfolder)
+    for name in (
+        "diffusion_pytorch_model.safetensors",
+        "diffusion_pytorch_model.bin",
+        "model.safetensors",
+        "pytorch_model.bin",
+    ):
+        cand.append(os.path.join(sub, name))
+    for c in cand:
+        if os.path.exists(c):
+            return c
+    raise FileNotFoundError(f"no weight file under {sub}")

@@ -126,7 +126,8 @@ def build_loss_fn(cfg, field, settings, guidance, is_front: bool):
                 # novel view: CLIP image + text losses
                 # (reference: utils.py:561-563)
                 l_clip = guidance.clip_losses(
-                    pred_rgb512, gt_rgb, batch["text_z_clip"]
+                    pred_rgb512, gt_rgb, batch["text_z_clip"],
+                    gparams=batch["gparams"],
                 )
                 loss += cfg.lambda_clip * l_clip
                 metrics["loss_clip"] = l_clip
@@ -139,6 +140,8 @@ def build_loss_fn(cfg, field, settings, guidance, is_front: bool):
                     gt_rgb,
                     is_large,
                     cfg.guidance_scale,
+                    text_pooled=batch["text_z_clip"],
+                    gparams=batch["gparams"],
                 )
                 loss += diff_phase * l_sds
                 metrics["loss_sds"] = l_sds
@@ -243,6 +246,9 @@ class Trainer:
         else:
             self.text.append(cfg.text)
             self.text_z.append(self.text_z[0])
+        self._clip_text_cache = [
+            self.guidance.clip_text_embeds(t) for t in self.text
+        ]
 
     # ------------------------------------------------------------------
     def _build_jits(self):
@@ -387,9 +393,8 @@ class Trainer:
         }
         if self.guidance is not None and self.text_z is not None:
             batch["text_z"] = self.text_z[text_idx]
-            batch["text_z_clip"] = self.guidance.clip_text_embeds(
-                self.text[text_idx]
-            )
+            batch["text_z_clip"] = self._clip_text_cache[text_idx]
+            batch["gparams"] = self.guidance.params
 
         self.key, k = jax.random.split(self.key)
         self.params, self.opt_state, metrics, aux = self._train_step[
