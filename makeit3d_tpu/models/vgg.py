@@ -1,0 +1,104 @@
+"""VGG19 features + contextual loss.
+
+Equivalent of the contextual_loss pip package the reference uses with
+use_vgg=True, vgg_layer='relu5_4' (reference: nerf/utils.py:36,810,882).
+The contextual (CX) loss of Mechrez et al. 2018 over VGG19 relu5_4
+features: normalized cosine distances, relative-distance softmax, and
+-log of the mean best match.
+
+VGG weights load from a torch checkpoint when available
+(Config.vgg_weights); otherwise random-init features still provide a
+meaningful texture-statistics signal for smoke runs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# torchvision VGG19 conv channels per block
+_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+        512, 512, 512, 512, "M", 512, 512, 512, 512]
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class VGG19Features(nn.Module):
+    """Forward through VGG19 conv layers up to relu5_4."""
+
+    @nn.compact
+    def __call__(self, x):
+        idx = 0
+        for c in _CFG:
+            if c == "M":
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            else:
+                x = nn.Conv(c, (3, 3), padding="SAME",
+                            name=f"features_{idx}")(x)
+                x = nn.relu(x)
+                idx += 1
+        return x  # relu5_4
+
+
+def contextual_loss(
+    feat_x: jnp.ndarray, feat_y: jnp.ndarray, h: float = 0.5,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """CX loss between feature maps [H, W, C]."""
+    fx = feat_x.reshape(-1, feat_x.shape[-1])
+    fy = feat_y.reshape(-1, feat_y.shape[-1])
+    # center by y's mean (per the CX paper)
+    mu = jnp.mean(fy, axis=0, keepdims=True)
+    fx = fx - mu
+    fy = fy - mu
+    fx = fx / (jnp.linalg.norm(fx, axis=-1, keepdims=True) + eps)
+    fy = fy / (jnp.linalg.norm(fy, axis=-1, keepdims=True) + eps)
+    d = 1.0 - fx @ fy.T  # [Nx, Ny] cosine distance
+    d_min = jnp.min(d, axis=1, keepdims=True)
+    d_tilde = d / (d_min + eps)
+    w = jnp.exp((1.0 - d_tilde) / h)
+    cx_ij = w / jnp.sum(w, axis=1, keepdims=True)
+    cx = jnp.mean(jnp.max(cx_ij, axis=0))
+    return -jnp.log(cx + eps)
+
+
+class ContextualLoss:
+    """VGG19-relu5_4 contextual texture loss, drop-in for the reference's
+    cl.ContextualLoss(use_vgg=True, vgg_layer='relu5_4')."""
+
+    def __init__(self, weights_path: Optional[str] = None, seed: int = 0):
+        self.vgg = VGG19Features()
+        self.params = self.vgg.init(
+            jax.random.PRNGKey(seed), jnp.zeros((1, 64, 64, 3))
+        )["params"]
+        if weights_path:
+            from .sd.weights import load_torch_state_dict, port_torch_to_flax
+
+            sd = load_torch_state_dict(weights_path)
+            # torchvision names convs features.0, features.2, ...;
+            # renumber to our consecutive features_i by sorted torch index
+            torch_ids = sorted(
+                {int(k.split(".")[1]) for k in sd if k.startswith("features.")}
+            )
+            new_sd = {}
+            for i, tid in enumerate(torch_ids):
+                for leaf in ("weight", "bias"):
+                    tk = f"features.{tid}.{leaf}"
+                    if tk in sd:
+                        new_sd[f"features_{i}.{leaf}"] = sd[tk]
+            self.params = port_torch_to_flax(new_sd, self.params)
+
+    def __call__(self, pred_rgb: jnp.ndarray, gt_rgb: jnp.ndarray,
+                 params=None) -> jnp.ndarray:
+        """pred/gt: [H, W, 3] in [0, 1]."""
+        params = params if params is not None else self.params
+        x = (pred_rgb - IMAGENET_MEAN) / IMAGENET_STD
+        y = (gt_rgb - IMAGENET_MEAN) / IMAGENET_STD
+        fx = self.vgg.apply({"params": params}, x[None])[0]
+        fy = self.vgg.apply({"params": params}, y[None])[0]
+        return contextual_loss(fx, jax.lax.stop_gradient(fy))

@@ -84,11 +84,37 @@ def save_depth_u16(path: str, depth: np.ndarray, scale: float = 1000.0):
 
 
 def write_video(path: str, frames: List[np.ndarray], fps: int = 25):
-    """mp4 writer (reference: utils.py:735-739 imageio.mimwrite)."""
-    import imageio
+    """mp4 writer (reference: utils.py:735-739 imageio.mimwrite).
 
-    imageio.mimwrite(path, np.stack(frames, axis=0), fps=fps, quality=8,
-                     macro_block_size=1)
+    Tries cv2's mp4 encoder, then imageio/ffmpeg; in environments with
+    neither codec, falls back to an animated GIF next to the requested
+    path so the orbit artifact always exists.
+    """
+    arr = np.stack(frames, axis=0)
+    try:
+        import cv2
+
+        h, w = arr.shape[1:3]
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                             (w, h))
+        if vw.isOpened():
+            for f in arr:
+                vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+            vw.release()
+            if os.path.getsize(path) > 0:
+                return
+    except Exception:
+        pass
+    try:
+        import imageio
+
+        imageio.mimwrite(path, arr, fps=fps, quality=8, macro_block_size=1)
+        return
+    except Exception:
+        import imageio
+
+        gif = os.path.splitext(path)[0] + ".gif"
+        imageio.mimwrite(gif, arr, duration=1000 / fps)
 
 
 # ---------------- checkpoints ----------------
