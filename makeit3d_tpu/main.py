@@ -1,0 +1,229 @@
+"""CLI entry point: single RGBA image -> 3D asset.
+
+Mirrors the reference CLI surface (reference: main.py:16-251): same
+flags, same workspace layout (results/<workspace>), same mode flow
+(train -> [--final test] -> [--save_mesh] -> [--refine]).
+
+Zero-egress gating: BLIP-2 captioning, the DPT depth model, SD weights
+and CLIP weights all load from local paths when given (--sd_weights,
+--dpt_weights, ...); absent weights degrade to documented fallbacks so
+the pipeline runs end-to-end in any environment.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import random
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    from .config import Config
+
+    d = Config()
+    p = argparse.ArgumentParser(description="Make-It-3D (TPU)")
+    # prompt / modes (reference main.py:19-34)
+    p.add_argument("--text", default=None)
+    p.add_argument("--negative", default="", type=str)
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--final", action="store_true")
+    p.add_argument("--refine", action="store_true")
+    p.add_argument("--save_mesh", action="store_true")
+    p.add_argument("--eval_interval", type=int, default=d.eval_interval)
+    p.add_argument("--workspace", type=str, default="workspace")
+    p.add_argument("--guidance", type=str, default="stable-diffusion",
+                   choices=["stable-diffusion", "clip", "none"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--guidance_scale", type=float, default=10)
+    p.add_argument("--need_back", action="store_true")
+    p.add_argument("--suppress_face", action="store_true")
+    p.add_argument("--ref_path", default=None, type=str)
+    # training (reference main.py:37-51)
+    p.add_argument("--iters", type=int, default=d.iters)
+    p.add_argument("--refine_iters", type=int, default=d.refine_iters)
+    p.add_argument("--lr", type=float, default=d.lr)
+    p.add_argument("--min_lr", type=float, default=d.min_lr)
+    p.add_argument("--ckpt", type=str, default="latest")
+    p.add_argument("--max_steps", type=int, default=d.max_steps)
+    p.add_argument("--num_steps", type=int, default=d.num_steps)
+    p.add_argument("--upsample_steps", type=int, default=d.upsample_steps)
+    p.add_argument("--update_extra_interval", type=int,
+                   default=d.update_extra_interval)
+    p.add_argument("--max_ray_batch", type=int, default=d.max_ray_batch)
+    p.add_argument("--albedo_iters", type=int, default=d.albedo_iters)
+    p.add_argument("--uniform_sphere_rate", type=float,
+                   default=d.uniform_sphere_rate)
+    p.add_argument("--diff_iters", type=int, default=d.diff_iters)
+    p.add_argument("--step_range", type=float, nargs="*", default=[0.2, 0.6])
+    # model (reference main.py:54-66)
+    p.add_argument("--bg_radius", type=float, default=d.bg_radius)
+    p.add_argument("--density_thresh", type=float, default=d.density_thresh)
+    p.add_argument("--blob_density", type=float, default=d.blob_density)
+    p.add_argument("--blob_radius", type=float, default=d.blob_radius)
+    p.add_argument("--fp16", action="store_true",
+                   help="bfloat16 compute on TPU")
+    p.add_argument("--backbone", type=str, default="hashgrid",
+                   choices=["hashgrid", "tcnn", "grid", "vanilla"])
+    p.add_argument("--optim", type=str, default="adan",
+                   choices=["adan", "adam", "adamw"])
+    p.add_argument("--sd_version", type=str, default="2.0",
+                   choices=["1.5", "2.0"])
+    p.add_argument("--hf_key", type=str, default=None)
+    p.add_argument("--w", type=int, default=d.w)
+    p.add_argument("--h", type=int, default=d.h)
+    # scene (reference main.py:69-92)
+    p.add_argument("--bound", type=float, default=d.bound)
+    p.add_argument("--dt_gamma", type=float, default=d.dt_gamma)
+    p.add_argument("--min_near", type=float, default=d.min_near)
+    p.add_argument("--radius_range", type=float, nargs="*", default=[1.0, 1.5])
+    p.add_argument("--fov", type=float, default=d.fov)
+    p.add_argument("--fovy_range", type=float, nargs="*", default=[15, 25])
+    p.add_argument("--theta_range", type=float, nargs="*", default=[70, 110])
+    p.add_argument("--phi_range", type=float, nargs="*", default=[0, 360])
+    p.add_argument("--lambda_entropy", type=float, default=d.lambda_entropy)
+    p.add_argument("--lambda_opacity", type=float, default=d.lambda_opacity)
+    p.add_argument("--lambda_orient", type=float, default=d.lambda_orient)
+    p.add_argument("--lambda_smooth", type=float, default=d.lambda_smooth)
+    p.add_argument("--lambda_img", type=float, default=d.lambda_img)
+    p.add_argument("--lambda_depth", type=float, default=d.lambda_depth)
+    p.add_argument("--lambda_clip", type=float, default=d.lambda_clip)
+    p.add_argument("--W", type=int, default=d.W)
+    p.add_argument("--H", type=int, default=d.H)
+    p.add_argument("--max_depth", type=float, default=d.max_depth)
+    # TPU-native knobs
+    p.add_argument("--train_samples_per_ray", type=int,
+                   default=d.train_samples_per_ray)
+    p.add_argument("--eval_samples_per_ray", type=int,
+                   default=d.eval_samples_per_ray)
+    p.add_argument("--sd_weights", type=str, default=None,
+                   help="local diffusers-layout weight dir")
+    p.add_argument("--clip_weights", type=str, default=None)
+    p.add_argument("--vgg_weights", type=str, default=None)
+    p.add_argument("--dpt_weights", type=str, default=None)
+    p.add_argument("--blip_weights", type=str, default=None,
+                   help="local BLIP-2 dir for captioning")
+    p.add_argument("--tiny_guidance", action="store_true",
+                   help="miniature random towers (tests/smoke)")
+
+    args = p.parse_args(argv)
+    kw = {k: v for k, v in vars(args).items()
+          if k in {f.name for f in __import__("dataclasses").fields(Config)}}
+    for k in ("step_range", "radius_range", "fovy_range", "theta_range",
+              "phi_range"):
+        kw[k] = tuple(kw[k])
+    cfg = Config(**kw)
+    cfg = cfg.replace(workspace=os.path.join("results", args.workspace))
+    return cfg, args
+
+
+def caption_image(image_path: str, blip_weights=None) -> str:
+    """BLIP-2 captioning with the reference's cleanup rules
+    (reference: main.py:159-172). Requires local BLIP-2 weights."""
+    if blip_weights is None:
+        raise SystemExit(
+            "--text is required when no local BLIP-2 weights are available "
+            "(zero-egress environment; pass --blip_weights or --text)"
+        )
+    import torch
+    from PIL import Image
+    from transformers import Blip2ForConditionalGeneration, Blip2Processor
+
+    processor = Blip2Processor.from_pretrained(blip_weights)
+    model = Blip2ForConditionalGeneration.from_pretrained(blip_weights)
+    image = Image.open(image_path).convert("RGB")
+    inputs = processor(image, return_tensors="pt")
+    out = model.generate(**inputs)
+    caption = processor.batch_decode(out, skip_special_tokens=True)[0].strip()
+    caption = caption.replace("there is ", "").replace("close up", "photo")
+    for bg in ("black background", "white background"):
+        caption = caption.replace(bg, "ground")
+    return caption
+
+
+def main(argv=None):
+    cfg, args = parse_args(argv)
+    os.makedirs(cfg.workspace, exist_ok=True)
+
+    random.seed(cfg.seed)
+    np.random.seed(cfg.seed)
+
+    from .cameras import ViewSampler
+    from .training.trainer import Trainer
+    from .utils.image import erode_mask, estimate_depth, load_ref_image, normalize_depth
+
+    # guidance (reference: main.py:146-153)
+    guidance = None
+    if cfg.guidance == "stable-diffusion":
+        from .guidance.sd import StableDiffusionGuidance
+
+        guidance = StableDiffusionGuidance(
+            sd_version=cfg.sd_version,
+            weights_root=args.sd_weights or cfg.hf_key,
+            step_range=cfg.step_range,
+            tiny=args.tiny_guidance,
+        )
+    elif cfg.guidance == "clip":
+        from .guidance.clip import CLIPGuidance
+
+        guidance = CLIPGuidance(weights_root=args.clip_weights,
+                                tiny=args.tiny_guidance)
+
+    # reference image preprocessing (reference: main.py:155-214)
+    ref_rgba = ref_depth = ref_mask = None
+    if cfg.ref_path:
+        ref_rgba, ori_rgb = load_ref_image(cfg.ref_path)
+        ref_mask = erode_mask((ref_rgba[0, :, :, 3] * 255).astype(np.uint8))
+        disparity = estimate_depth(ori_rgb, args.dpt_weights)
+        import cv2
+
+        disparity = cv2.resize(np.asarray(disparity, np.float64), (512, 512))
+        ref_depth = normalize_depth(disparity, ref_mask)
+
+        if cfg.text is None and guidance is not None:
+            cfg = cfg.replace(text=caption_image(cfg.ref_path,
+                                                 args.blip_weights))
+            print("Caption:", cfg.text)
+
+    trainer = Trainer(
+        cfg, guidance=guidance, ref_rgba=ref_rgba, ref_depth=ref_depth,
+        ref_mask=ref_mask, workspace=cfg.workspace, seed=cfg.seed,
+        use_checkpoint=cfg.ckpt,
+    )
+
+    if args.test:
+        sampler = ViewSampler(cfg, type="test", H=cfg.H, W=cfg.W, size=33)
+        trainer.test(sampler, write_video_out=True)
+        if args.save_mesh:
+            trainer.save_mesh(resolution=256)
+        return
+
+    valid = ViewSampler(cfg, type="val", H=cfg.H, W=cfg.W, size=5)
+    trainer.train(valid_sampler=valid)
+
+    if args.final:
+        sampler = ViewSampler(cfg, type="test", H=cfg.H, W=cfg.W, size=64)
+        trainer.test(sampler, write_image=False, write_video_out=True)
+
+    if args.save_mesh:
+        trainer.save_mesh(resolution=256)
+
+    if args.refine:
+        from .training.refine import RefineStage
+
+        mv = ViewSampler(cfg, type="gen_mv", H=cfg.H, W=cfg.W, size=33)
+        test_sampler = ViewSampler(cfg, type="test", H=cfg.H, W=cfg.W, size=64)
+        mv_dir = os.path.join(cfg.workspace, "mvimg")
+        trainer.test(mv, save_path=mv_dir, write_image=True,
+                     write_video_out=False)
+        stage = RefineStage(cfg, guidance=guidance, workspace=cfg.workspace,
+                            vgg_weights=args.vgg_weights)
+        gt_rgba, _ = load_ref_image(cfg.ref_path)
+        stage.run(mv_dir, cfg.refine_iters, gt_rgba[0], text=cfg.text,
+                  test_sampler=test_sampler)
+
+
+if __name__ == "__main__":
+    main()

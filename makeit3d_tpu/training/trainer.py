@@ -494,6 +494,47 @@ class Trainer:
         self.ws.log("==> Finished Test.")
 
     # ------------------------------------------------------------------
+    def save_mesh(self, save_path: Optional[str] = None,
+                  resolution: int = 256):
+        """Textured OBJ export (reference: utils.py:626-637 +
+        renderer.py:156-330)."""
+        from ..utils.mesh_export import export_textured_mesh
+
+        save_path = save_path or os.path.join(self.ws.root, "mesh")
+        self.ws.log(f"==> Saving mesh to {save_path}")
+        chunk = 1 << 17
+
+        @jax.jit
+        def density_j(params, x):
+            d = self.field.apply(params, x, method="density")
+            return d["sigma"], d["albedo"]
+
+        def density_fn(pts):
+            out = np.zeros(len(pts), np.float32)
+            for h in range(0, len(pts), chunk):
+                t = min(h + chunk, len(pts))
+                x = jnp.asarray(pts[h:t])
+                pad = 0
+                s, _ = density_j(self.params, x)
+                out[h:t] = np.asarray(s)
+            return out
+
+        def albedo_fn(pts):
+            out = np.zeros((len(pts), 3), np.float32)
+            for h in range(0, len(pts), chunk):
+                t = min(h + chunk, len(pts))
+                _, a = density_j(self.params, jnp.asarray(pts[h:t]))
+                out[h:t] = np.asarray(a)
+            return out
+
+        thresh = min(float(self.grid.mean_density), self.cfg.density_thresh)
+        export_textured_mesh(
+            density_fn, albedo_fn, save_path, resolution=resolution,
+            threshold=thresh, bound=self.cfg.bound,
+        )
+        self.ws.log("==> Finished saving mesh.")
+
+    # ------------------------------------------------------------------
     def _ckpt_state(self):
         return {
             "params": self.params,

@@ -1,0 +1,194 @@
+"""Isosurface extraction (marching tetrahedra).
+
+PyMCubes replacement (reference imports mcubes at nerf/renderer.py:12).
+Fast path: the native C++ library (makeit3d_tpu/native/marching_tets.cpp)
+built on first use; fallback: a vectorized numpy implementation of the
+same tetrahedral decomposition, chunked by z-slab.
+
+marching_cubes(grid, iso) -> (verts [N, 3] float32 in grid index units,
+tris [M, 3] int64), matching the PyMCubes call signature the reference
+uses (mcubes.marching_cubes(u, thresh), renderer.py:182).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_LIB: Optional[ctypes.CDLL] = None
+_LIB_TRIED = False
+
+
+def _build_native() -> Optional[ctypes.CDLL]:
+    global _LIB, _LIB_TRIED
+    if _LIB is not None or _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    src = os.path.abspath(os.path.join(_NATIVE_DIR, "marching_tets.cpp"))
+    out = os.path.abspath(os.path.join(_NATIVE_DIR, "libmtets.so"))
+    try:
+        if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(src):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", src, "-o", out],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(out)
+        lib.marching_tets.restype = ctypes.c_int
+        lib.marching_tets.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_float,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.free_mesh.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _LIB = lib
+    except Exception as e:  # toolchain missing -> numpy fallback
+        print(f"[mcubes] native build unavailable ({e}); using numpy fallback")
+        _LIB = None
+    return _LIB
+
+
+def marching_cubes(grid: np.ndarray, iso: float) -> Tuple[np.ndarray, np.ndarray]:
+    grid = np.ascontiguousarray(grid, np.float32)
+    lib = _build_native()
+    if lib is not None:
+        vp = ctypes.POINTER(ctypes.c_float)()
+        tp = ctypes.POINTER(ctypes.c_int64)()
+        nv = ctypes.c_int64()
+        nt = ctypes.c_int64()
+        rc = lib.marching_tets(
+            grid.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            grid.shape[0], grid.shape[1], grid.shape[2],
+            ctypes.c_float(iso),
+            ctypes.byref(vp), ctypes.byref(nv),
+            ctypes.byref(tp), ctypes.byref(nt),
+        )
+        if rc == 0:
+            verts = np.ctypeslib.as_array(vp, (nv.value, 3)).copy()
+            tris = np.ctypeslib.as_array(tp, (nt.value, 3)).copy()
+            lib.free_mesh(vp, tp)
+            return verts, tris
+    return _marching_tets_numpy(grid, iso)
+
+
+# ---------------- numpy fallback ----------------
+
+_CORNERS = np.array(
+    [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+     [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], np.int64
+)
+_TETS = np.array(
+    [[0, 5, 1, 6], [0, 1, 2, 6], [0, 2, 3, 6],
+     [0, 3, 7, 6], [0, 7, 4, 6], [0, 4, 5, 6]], np.int64
+)
+
+
+def _marching_tets_numpy(grid: np.ndarray, iso: float):
+    """Vectorized tetrahedral isosurface; same geometry as the native
+    path, with np.unique-based vertex dedup on canonical edge keys."""
+    nx, ny, nz = grid.shape
+    tri_ipts = []   # [M, 3] inside centroid for orientation
+
+    # process cubes in z-slabs to bound memory
+    xs, ys, zs = np.meshgrid(
+        np.arange(nx - 1), np.arange(ny - 1), np.arange(nz - 1), indexing="ij"
+    )
+    base = np.stack([xs, ys, zs], axis=-1).reshape(-1, 3)  # [C, 3]
+    corner_pos = base[:, None, :] + _CORNERS[None]         # [C, 8, 3]
+    cv = grid[corner_pos[..., 0], corner_pos[..., 1], corner_pos[..., 2]]
+    active = (cv > iso).any(-1) & (cv <= iso).any(-1)
+    base = base[active]
+    cv = cv[active]
+    corner_pos = corner_pos[active]
+
+    def lattice_id(p):  # [*, 3] -> flat int ids
+        return (p[..., 0] * ny + p[..., 1]) * nz + p[..., 2]
+
+    all_e0, all_e1 = [], []
+    for tet in _TETS:
+        tv = cv[:, tet]                           # [C, 4]
+        tpos = corner_pos[:, tet]                 # [C, 4, 3]
+        inside = tv > iso                         # [C, 4]
+        n_in = inside.sum(-1)
+        for pattern in range(1, 4):               # 1, 2, 3 inside
+            sel = n_in == pattern
+            if not sel.any():
+                continue
+            v = tv[sel]
+            p = tpos[sel]
+            ins = inside[sel]
+            ipt = (p * ins[..., None]).sum(1) / pattern  # [S, 3]
+            if pattern in (1, 3):
+                solo_in = ins if pattern == 1 else ~ins
+                solo = np.argmax(solo_in, axis=-1)        # [S]
+                others = np.argsort(~solo_in, axis=-1, kind="stable")[:, 1:]
+                Sn = len(v)
+                aidx = np.arange(Sn)
+                e0 = np.stack([p[aidx, solo]] * 3, axis=1)          # [S,3,3]
+                e1 = np.stack([p[aidx, others[:, k]] for k in range(3)],
+                              axis=1)
+                all_e0.append(e0.reshape(-1, 3))
+                all_e1.append(e1.reshape(-1, 3))
+                tri_ipts.append(ipt)
+            else:  # pattern == 2: quad -> 2 tris
+                order = np.argsort(~ins, axis=-1, kind="stable")
+                in0, in1 = order[:, 0], order[:, 1]
+                o0, o1 = order[:, 2], order[:, 3]
+                Sn = len(v)
+                aidx = np.arange(Sn)
+                pa0, pa1 = p[aidx, in0], p[aidx, in1]
+                pb0, pb1 = p[aidx, o0], p[aidx, o1]
+                # edges: a=(in0,o0) b=(in0,o1) c=(in1,o1) d=(in1,o0)
+                # tris (a,b,c) and (a,c,d)
+                e0 = np.stack([pa0, pa0, pa1, pa0, pa1, pa1], axis=1)
+                e1 = np.stack([pb0, pb1, pb1, pb0, pb1, pb0], axis=1)
+                all_e0.append(e0.reshape(-1, 3))
+                all_e1.append(e1.reshape(-1, 3))
+                tri_ipts.append(np.repeat(ipt, 2, axis=0))
+
+    if not all_e0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
+
+    e0 = np.concatenate(all_e0).reshape(-1, 3, 3)  # [M, 3 verts, 3]
+    e1 = np.concatenate(all_e1).reshape(-1, 3, 3)
+    ipts = np.concatenate(tri_ipts)                 # [M, 3]
+
+    # canonical edge keys + dedup
+    k0 = lattice_id(e0)
+    k1 = lattice_id(e1)
+    lo = np.minimum(k0, k1)
+    hi = np.maximum(k0, k1)
+    keys = lo * (nx * ny * nz) + hi                 # [M, 3]
+    uniq, inv = np.unique(keys.reshape(-1), return_inverse=True)
+    tris = inv.reshape(-1, 3)
+
+    # interpolated position per unique edge
+    flat_e0 = e0.reshape(-1, 3)
+    flat_e1 = e1.reshape(-1, 3)
+    first = np.zeros(len(uniq), np.int64)
+    first[inv[::-1]] = np.arange(len(inv))[::-1]    # first occurrence
+    a = flat_e0[first]
+    b = flat_e1[first]
+    va = grid[a[:, 0], a[:, 1], a[:, 2]]
+    vb = grid[b[:, 0], b[:, 1], b[:, 2]]
+    t = np.clip((iso - va) / np.where(vb == va, 1e-8, vb - va), 0, 1)
+    verts = a + t[:, None] * (b - a)
+
+    # orientation: normal away from inside centroid
+    p0, p1, p2 = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
+    n = np.cross(p1 - p0, p2 - p0)
+    c = (p0 + p1 + p2) / 3
+    flip = np.einsum("ij,ij->i", n, c - ipts) < 0
+    tris[flip] = tris[flip][:, [0, 2, 1]]
+    return verts.astype(np.float32), tris.astype(np.int64)
