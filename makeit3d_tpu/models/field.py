@@ -108,37 +108,36 @@ class HashGridField(nn.Module):
         sigma, albedo = self.common(x)
         return {"sigma": sigma, "albedo": albedo}
 
-    def _fd_offsets(self):
-        eps = self.fd_epsilon
-        return jnp.asarray(
-            [
-                [eps, 0, 0], [-eps, 0, 0],
-                [0, eps, 0], [0, -eps, 0],
-                [0, 0, eps], [0, 0, -eps],
-            ],
-            jnp.float32,
-        )
-
     def sigma_albedo_normal(self, x):
         """One batched field eval for center + 6 finite-difference probes.
 
         reference: network_tcnn.py:115-138 runs common_forward 6 extra
         times; here all 7 positions go through one [7N] batch.
+
+        Memory note (v5e OOM postmortem): the probe batch is built by
+        concatenating seven [N, 3] arrays along axis 0. A broadcasted
+        [N, 6, 3] probe tensor looks natural but its (6, 3) minor dims
+        pad out 20-40x under TPU tiling — at a full-image render that
+        single temp was 2.25G of a 15.75G HBM and crashed the chip.
         """
         N = x.shape[0]
-        probes = jnp.clip(
-            x[:, None, :] + self._fd_offsets()[None, :, :], -self.bound, self.bound
-        )  # [N, 6, 3]
-        allx = jnp.concatenate([x, probes.reshape(-1, 3)], axis=0)  # [7N, 3]
-        sigma_all, albedo_all = self.common(allx)
-        sigma, sigma_p = sigma_all[:N], sigma_all[N:].reshape(N, 6)
-        albedo = albedo_all[:N]
         eps = self.fd_epsilon
+        parts = [x]
+        for axis in range(3):
+            off = jnp.zeros((1, 3), x.dtype).at[0, axis].set(eps)
+            parts.append(jnp.clip(x + off, -self.bound, self.bound))
+            parts.append(jnp.clip(x - off, -self.bound, self.bound))
+        allx = jnp.concatenate(parts, axis=0)  # [7N, 3]
+        sigma_all, albedo_all = self.common(allx)
+        sigma = sigma_all[:N]
+        albedo = albedo_all[:N]
+        # probe k occupies rows [ (k+1)N, (k+2)N ): +x, -x, +y, -y, +z, -z
+        sigma_p = sigma_all[N:].reshape(6, N)
         normal = -jnp.stack(
             [
-                0.5 * (sigma_p[:, 0] - sigma_p[:, 1]) / eps,
-                0.5 * (sigma_p[:, 2] - sigma_p[:, 3]) / eps,
-                0.5 * (sigma_p[:, 4] - sigma_p[:, 5]) / eps,
+                0.5 * (sigma_p[0] - sigma_p[1]) / eps,
+                0.5 * (sigma_p[2] - sigma_p[3]) / eps,
+                0.5 * (sigma_p[4] - sigma_p[5]) / eps,
             ],
             axis=-1,
         )
