@@ -243,6 +243,69 @@ def field_density(field: nn.Module, variables, x):
     return field.apply(variables, x, method="density")
 
 
+def _chunked_field_vjp(field: nn.Module, n_chunks: int, chunk: int):
+    """Build a custom-VJP chunked field evaluator.
+
+    Why custom VJP instead of jax.checkpoint + autodiff: on the v5e the
+    XLA-generated backward of (in-program sample positions -> remat'ed
+    chunked field with finite-difference probes) reliably compiled to a
+    kernel that crashed the TPU worker at runtime (data-dependent Mosaic
+    fault; ~15 independent compiles reproduced it, while every variant
+    whose backward consumed *materialized* positions ran clean). The
+    custom VJP forces exactly that shape: positions are saved as
+    residuals, and the backward replays each chunk from the residual
+    buffer via jax.vjp, accumulating param cotangents across chunks in a
+    scan carry. Memory matches jax.checkpoint (one chunk's activations
+    live at a time); numerics match autodiff exactly (verified in
+    tests/test_ops.py).
+    """
+
+    def eval_fn(variables, xp, dp, light_d, ratio, shading_mode):
+        def body(c):
+            return apply_field(field, variables, c[0], c[1], light_d,
+                               ratio, shading_mode)
+
+        return jax.lax.map(
+            body, (xp.reshape(n_chunks, chunk, 3),
+                   dp.reshape(n_chunks, chunk, 3))
+        )
+
+    @jax.custom_vjp
+    def f(variables, xp, dp, light_d, ratio, shading_mode):
+        return eval_fn(variables, xp, dp, light_d, ratio, shading_mode)
+
+    def fwd(variables, xp, dp, light_d, ratio, shading_mode):
+        out = eval_fn(variables, xp, dp, light_d, ratio, shading_mode)
+        return out, (variables, xp, dp, light_d, ratio, shading_mode)
+
+    def bwd(res, cts):
+        variables, xp, dp, light_d, ratio, shading_mode = res
+        ct_sigma, ct_color, ct_normal = cts
+
+        def chunk_grad(carry, inp):
+            xx, dd, cs, cc, cn = inp
+
+            def one(v):
+                return apply_field(field, v, xx, dd, light_d, ratio,
+                                   shading_mode)
+
+            _, vjp_fn = jax.vjp(one, variables)
+            (dv,) = vjp_fn((cs, cc, cn))
+            return jax.tree.map(jnp.add, carry, dv), None
+
+        zero = jax.tree.map(jnp.zeros_like, variables)
+        dvars, _ = jax.lax.scan(
+            chunk_grad, zero,
+            (xp.reshape(n_chunks, chunk, 3), dp.reshape(n_chunks, chunk, 3),
+             ct_sigma, ct_color, ct_normal),
+        )
+        return (dvars, jnp.zeros_like(xp), jnp.zeros_like(dp),
+                jnp.zeros_like(light_d), jnp.zeros_like(ratio), None)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def apply_field_chunked(
     field: nn.Module,
     variables,
@@ -253,31 +316,27 @@ def apply_field_chunked(
     shading_mode=SHADING_ALBEDO,
     chunk: int = 1 << 17,
 ):
-    """apply_field over [M] samples in rematerialized chunks.
+    """apply_field over [M] samples in memory-bounded chunks.
 
     A full-image training render is ~1.6M samples x 7 normal probes;
     evaluating that in one shot keeps multi-GB activations live (OOMs a
-    16G v5e). lax.scan over chunks + jax.checkpoint bounds live memory
-    to one chunk's activations and recomputes them in the backward pass
-    — the TPU analogue of the reference's chunked queries
-    (nerf/renderer.py:596-598, 249-254).
+    16G v5e). Chunks run under lax.map with a custom VJP that replays
+    each chunk from materialized position residuals — the TPU analogue
+    of the reference's chunked queries (nerf/renderer.py:596-598,
+    249-254); see _chunked_field_vjp for why not jax.checkpoint.
     """
     M = x.shape[0]
     if M <= chunk:
         return apply_field(field, variables, x, d, light_d, ratio, shading_mode)
+    if light_d is None:
+        light_d = jnp.asarray([0.0, 0.0, 1.0])
+    ratio = jnp.asarray(ratio, jnp.float32)
     n_chunks = -(-M // chunk)
     pad = n_chunks * chunk - M
     xp = jnp.pad(x, ((0, pad), (0, 0)))
     dp = jnp.pad(d, ((0, pad), (0, 0)))
-
-    @jax.checkpoint
-    def body(xx, dd):
-        return apply_field(field, variables, xx, dd, light_d, ratio, shading_mode)
-
-    sigma, color, normal = jax.lax.map(
-        lambda c: body(c[0], c[1]),
-        (xp.reshape(n_chunks, chunk, 3), dp.reshape(n_chunks, chunk, 3)),
-    )
+    f = _chunked_field_vjp(field, n_chunks, chunk)
+    sigma, color, normal = f(variables, xp, dp, light_d, ratio, shading_mode)
     return (
         sigma.reshape(-1)[:M],
         color.reshape(-1, color.shape[-1])[:M],
@@ -286,7 +345,8 @@ def apply_field_chunked(
 
 
 def sigma_albedo_normal_chunked(field, variables, x, chunk: int = 1 << 17):
-    """Chunked + rematerialized sigma_albedo_normal (see above)."""
+    """Chunked sigma_albedo_normal with the same custom-VJP structure as
+    apply_field_chunked (see _chunked_field_vjp for the rationale)."""
     M = x.shape[0]
     if M <= chunk:
         return sigma_albedo_normal(field, variables, x)
@@ -294,11 +354,40 @@ def sigma_albedo_normal_chunked(field, variables, x, chunk: int = 1 << 17):
     pad = n_chunks * chunk - M
     xp = jnp.pad(x, ((0, pad), (0, 0)))
 
-    @jax.checkpoint
-    def body(xx):
-        return sigma_albedo_normal(field, variables, xx)
+    def eval_fn(variables, xp):
+        return jax.lax.map(
+            lambda xx: sigma_albedo_normal(field, variables, xx),
+            xp.reshape(n_chunks, chunk, 3),
+        )
 
-    sigma, albedo, normal = jax.lax.map(body, xp.reshape(n_chunks, chunk, 3))
+    @jax.custom_vjp
+    def f(variables, xp):
+        return eval_fn(variables, xp)
+
+    def fwd(variables, xp):
+        return eval_fn(variables, xp), (variables, xp)
+
+    def bwd(res, cts):
+        variables, xp = res
+        ct_sigma, ct_albedo, ct_normal = cts
+
+        def chunk_grad(carry, inp):
+            xx, cs, ca, cn = inp
+            _, vjp_fn = jax.vjp(
+                lambda v: sigma_albedo_normal(field, v, xx), variables
+            )
+            (dv,) = vjp_fn((cs, ca, cn))
+            return jax.tree.map(jnp.add, carry, dv), None
+
+        zero = jax.tree.map(jnp.zeros_like, variables)
+        dvars, _ = jax.lax.scan(
+            chunk_grad, zero,
+            (xp.reshape(n_chunks, chunk, 3), ct_sigma, ct_albedo, ct_normal),
+        )
+        return dvars, jnp.zeros_like(xp)
+
+    f.defvjp(fwd, bwd)
+    sigma, albedo, normal = f(variables, xp)
     return (
         sigma.reshape(-1)[:M],
         albedo.reshape(-1, albedo.shape[-1])[:M],

@@ -139,10 +139,15 @@ def march_rays(
     valid = want[None, :] <= total[:, None]  # [N, S]
 
     t_s = jnp.take_along_axis(t, slot_idx, axis=-1)  # [N, S]
-    t_s = jnp.where(valid, t_s, 0.0)
+    # Invalid slots keep their (clamped-slot) lattice positions instead of
+    # being zeroed: the composite masks their sigmas/weights via `valid`
+    # (compaction makes `valid` a prefix mask, so the prev-sample depth
+    # chain is unaffected), the extra field evals are gradient-free either
+    # way, and feeding smooth real coordinates avoids the degenerate
+    # all-identical-position flood that triggered a data-dependent Mosaic
+    # kernel fault on v5e (sparse-occupancy steps crashed the TPU worker).
     xyzs = rays_o[:, None, :] + rays_d[:, None, :] * t_s[..., None]
     xyzs = jnp.clip(xyzs, -bound, bound)
-    xyzs = jnp.where(valid[..., None], xyzs, 0.0)
     dirs = jnp.broadcast_to(rays_d[:, None, :], (N, S, 3))
 
     # real delta: distance to previous kept sample, used only for depth
