@@ -112,6 +112,11 @@ class Config:
     dpt_weights: Optional[str] = None
     # device mesh: number of devices along the data (ray/view) axis.
     mesh_data: int = 1
+    # profiling: when set, Trainer.train wraps epochs in a jax.profiler
+    # trace written here (open with xprof / tensorboard). Replaces the
+    # reference's commented-out manual timing probes (nerf/sd.py:123-147,
+    # nerf/utils.py:495) with the standard JAX tooling.
+    profile_dir: Optional[str] = None
 
     # ---- derived ----
     @property

@@ -107,6 +107,8 @@ def parse_args(argv=None):
                    help="local BLIP-2 dir for captioning")
     p.add_argument("--tiny_guidance", action="store_true",
                    help="miniature random towers (tests/smoke)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler (xprof) trace of epoch 2 here")
 
     args = p.parse_args(argv)
     kw = {k: v for k, v in vars(args).items()

@@ -115,6 +115,10 @@ def render_occupancy(
 
     results: Dict[str, jnp.ndarray] = {}
     nvalid = jnp.maximum(jnp.sum(m.valid), 1)
+    # marched-sample telemetry: the reference's 16-slot step_counter ring
+    # (renderer.py:129-132,633-637) becomes a per-step scalar; here the
+    # budget is static so this only feeds observability, not buffer sizing.
+    results["n_valid"] = nvalid
 
     if training:
         # orientation loss: back-facing normals with positive weight are

@@ -67,3 +67,38 @@ def composite_weights_only(sigmas, dts, valid, T_thresh: float = 1e-4):
     T_before = jnp.exp(-(csum - sdt))
     contribute = jax.lax.stop_gradient(T_before >= T_thresh) & valid
     return jnp.where(contribute, alphas * T_before, 0.0)
+
+
+def composite_sdf_rays(
+    sigmas: jnp.ndarray,     # [N, S] -- already alpha-valued in [0, 1)
+    rgbs: jnp.ndarray,       # [N, S, C]
+    dts: jnp.ndarray,        # [N, S] (unused for alpha; kept for API parity)
+    real_dts: jnp.ndarray,   # [N, S] depth deltas
+    valid: jnp.ndarray,      # [N, S] bool
+    T_thresh: float = 1e-4,
+) -> Composited:
+    """SDF-flavored compositing: alpha = sigma directly, no exp(-sigma*dt).
+
+    TPU equivalent of kernel_composite_sdf_rays_train_forward/backward and
+    kernel_composite_sdf_rays (reference: raymarching/src/
+    raymarching.cu:708-898, 1126-1222 — declared for the unimplemented
+    `sdf` backbone, main.py:60,105-106; part of the kernel API surface).
+    T_i = prod_{j<i} (1 - alpha_j) via an exclusive cumprod; the early-out
+    at T < T_thresh becomes a stop-gradient mask like composite_rays.
+    """
+    alphas = jnp.where(valid, jnp.clip(sigmas, 0.0, 1.0 - 1e-6), 0.0)
+    one_minus = 1.0 - alphas
+    # exclusive cumulative product -> transmittance before sample i
+    T_incl = jnp.cumprod(one_minus, axis=-1)
+    T_before = jnp.concatenate(
+        [jnp.ones_like(T_incl[..., :1]), T_incl[..., :-1]], axis=-1
+    )
+    contribute = jax.lax.stop_gradient(T_before >= T_thresh) & valid
+    weights = jnp.where(contribute, alphas * T_before, 0.0)
+
+    weights_sum = jnp.sum(weights, axis=-1)
+    t_cum = jnp.cumsum(real_dts, axis=-1)
+    depth = jnp.sum(weights * t_cum, axis=-1)
+    image = jnp.sum(weights[..., None] * rgbs, axis=-2)
+    return Composited(weights_sum=weights_sum, depth=depth, image=image,
+                      weights=weights)

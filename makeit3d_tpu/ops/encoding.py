@@ -138,6 +138,50 @@ class HashGridEncoder:
         return jnp.moveaxis(feats, 0, 1).reshape(x.shape[0], -1)
 
 
+class SHEncoder:
+    """Real spherical-harmonics direction encoding up to degree 4.
+
+    Equivalent of the stable-dreamfusion `shencoder` CUDA package the
+    reference imports lazily for non-default direction encodings
+    (reference: encoding.py:56-70). Hardcoded real-SH polynomials match
+    the CUDA kernel's constants. Input: unit directions [..., 3].
+    """
+
+    def __init__(self, input_dim: int = 3, degree: int = 4):
+        assert input_dim == 3 and 1 <= degree <= 4
+        self.degree = degree
+        self.output_dim = degree * degree
+
+    def __call__(self, d: jnp.ndarray, **_) -> jnp.ndarray:
+        x, y, z = d[..., 0], d[..., 1], d[..., 2]
+        out = [jnp.full(x.shape, 0.28209479177387814)]
+        if self.degree > 1:
+            out += [-0.48860251190291987 * y,
+                    0.48860251190291987 * z,
+                    -0.48860251190291987 * x]
+        if self.degree > 2:
+            xy, yz, xz = x * y, y * z, x * z
+            x2, y2, z2 = x * x, y * y, z * z
+            out += [1.0925484305920792 * xy,
+                    -1.0925484305920792 * yz,
+                    0.94617469575755997 * z2 - 0.31539156525251999,
+                    -1.0925484305920792 * xz,
+                    0.54627421529603959 * (x2 - y2)]
+        if self.degree > 3:
+            xy, yz, xz = x * y, y * z, x * z
+            x2, y2, z2 = x * x, y * y, z * z
+            out += [
+                0.59004358992664352 * y * (-3.0 * x2 + y2),
+                2.8906114426405538 * xy * z,
+                0.45704579946446572 * y * (1.0 - 5.0 * z2),
+                0.3731763325901154 * z * (5.0 * z2 - 3.0),
+                0.45704579946446572 * x * (1.0 - 5.0 * z2),
+                1.4453057213202769 * z * (x2 - y2),
+                0.59004358992664352 * x * (-x2 + 3.0 * y2),
+            ]
+        return jnp.stack(out, axis=-1)
+
+
 def get_encoder(encoding: str, input_dim: int = 3, multires: int = 6, **kw):
     """Encoder factory (reference: encoding.py:44-75)."""
     if encoding == "None":
@@ -146,6 +190,9 @@ def get_encoder(encoding: str, input_dim: int = 3, multires: int = 6, **kw):
         return enc, input_dim
     if encoding in ("frequency", "frequency_torch"):
         enc = FreqEncoder(input_dim=input_dim, multires=multires)
+        return enc, enc.output_dim
+    if encoding in ("sphere_harmonics", "sh"):
+        enc = SHEncoder(input_dim=input_dim, degree=kw.get("degree", 4))
         return enc, enc.output_dim
     if encoding in ("hashgrid", "tiledgrid"):
         enc = HashGridEncoder(

@@ -83,6 +83,30 @@ def near_far_from_bound(
     return near.reshape(shape), far.reshape(shape)
 
 
+def sph_from_ray(
+    rays_o: jnp.ndarray, rays_d: jnp.ndarray, radius: float
+) -> jnp.ndarray:
+    """Ray / background-sphere intersection -> normalized (theta, phi).
+
+    reference: raymarching/src/raymarching.cu:162-209 kernel_sph_from_ray
+    (the background-model coordinate lookup; unused on the main path but
+    part of the kernel API surface). Solves ||o + t d|| = radius for the
+    larger root, then returns [2*theta/pi - 1, phi/pi] with y up.
+    rays_o/rays_d: [N, 3] -> [N, 2].
+    """
+    A = jnp.sum(rays_d * rays_d, axis=-1)
+    B = jnp.sum(rays_o * rays_d, axis=-1)
+    C = jnp.sum(rays_o * rays_o, axis=-1) - radius * radius
+    disc = jnp.maximum(B * B - A * C, 0.0)
+    t = (-B + jnp.sqrt(disc)) / A
+    p = rays_o + t[:, None] * rays_d
+    theta = jnp.arctan2(jnp.sqrt(p[:, 0] ** 2 + p[:, 2] ** 2), p[:, 1])
+    phi = jnp.arctan2(p[:, 2], p[:, 0])
+    return jnp.stack(
+        [2.0 * theta / math.pi - 1.0, phi / math.pi], axis=-1
+    )
+
+
 class MarchedRays(NamedTuple):
     """Fixed-budget marched samples for a batch of rays."""
 

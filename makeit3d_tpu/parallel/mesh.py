@@ -60,3 +60,46 @@ def shard_train_step(step_fn, mesh: Mesh, batch: Dict):
         out_shardings=(repl, repl, repl, repl),
     )
     return jitted, b_shard
+
+
+# ---------------------------------------------------------------------------
+# multi-asset training: N independent optimizations sharded over the slice
+# ---------------------------------------------------------------------------
+
+
+def stack_assets(trees):
+    """Stack per-asset pytrees (params, opt states, grids, batches) along a
+    new leading asset axis."""
+    import jax.numpy as jnp
+
+    return jax.tree.map(lambda *leaves: jnp.stack(leaves), *trees)
+
+
+def unstack_assets(tree, n_assets: int):
+    """Inverse of stack_assets: one pytree per asset."""
+    return [jax.tree.map(lambda leaf: leaf[i], tree) for i in range(n_assets)]
+
+
+def shard_multi_asset_step(step_fn, mesh: Mesh):
+    """Batched multi-asset throughput (BASELINE.json config 5): each asset
+    is a fully independent optimization (own params / optimizer state /
+    occupancy grid / reference image), embarrassingly parallel across the
+    slice — the TPU-native replacement for running N reference processes
+    on N GPUs. The step vmaps over the leading asset axis and shards that
+    axis over the mesh's "data" dimension, so with n_assets == n_devices
+    each chip advances exactly its own asset and NO collectives are
+    emitted (frozen prior weights, when used, are the only replicated
+    operands).
+
+    step_fn: the single-asset train step (params, opt_state, grid, key,
+    batch) -> (params, opt_state, metrics, aux). All inputs must carry a
+    leading asset axis (see stack_assets).
+    """
+    asset = NamedSharding(mesh, P("data"))
+    vstep = jax.vmap(step_fn)
+    jitted = jax.jit(
+        vstep,
+        in_shardings=(asset, asset, asset, asset, asset),
+        out_shardings=(asset, asset, asset, asset),
+    )
+    return jitted

@@ -148,6 +148,7 @@ def build_loss_fn(cfg, field, settings, guidance, is_front: bool):
 
         metrics["loss"] = loss
         metrics["ws_mean"] = jnp.mean(pred_ws)
+        metrics["n_valid"] = out["n_valid"]
         aux = {
             "pred_rgb": pred_rgb512,
             "pred_depth": pred_depth512,
@@ -313,9 +314,19 @@ class Trainer:
         sampler = ViewSampler(cfg, type="train", H=cfg.h, W=cfg.w,
                               size=steps_per_epoch, seed=cfg.seed)
         start = time.time()
+        profiling = False
         for epoch in range(self.epoch + 1, max_epochs + 1):
             self.epoch = epoch
+            # profile the second epoch only: past compiles, one full epoch
+            # of steady-state steps (cfg.profile_dir -> xprof trace)
+            if cfg.profile_dir and epoch == 2 and not profiling:
+                jax.profiler.start_trace(cfg.profile_dir)
+                profiling = True
             self.train_one_epoch(sampler)
+            if profiling:
+                jax.profiler.stop_trace()
+                profiling = False
+                self.ws.log(f"[INFO] profiler trace -> {cfg.profile_dir}")
             if epoch % cfg.eval_interval == 0:
                 if valid_sampler is not None:
                     self.evaluate(valid_sampler)
