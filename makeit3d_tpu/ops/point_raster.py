@@ -73,7 +73,12 @@ def render_points(
     tile_capacity: int = 256,
     bg_features: Optional[jnp.ndarray] = None,  # [C] (diff)
     tile_chunk: int = 256,  # tiles processed together (memory bound)
+    use_pallas: Optional[bool] = None,  # fused Pallas tile kernel; None=auto
 ) -> RasterOut:
+    # The fused Pallas kernel is ~1.4x faster than the XLA tile path on a
+    # v5e (48 vs 69 ms fwd+bwd at 800^2 / 200k points) — default on TPU.
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     if H % TILE or W % TILE:
         # render at the padded size, crop back (e.g. the 200px pyramid
         # level of the refine stage)
@@ -81,7 +86,7 @@ def render_points(
         Wp = -(-W // TILE) * TILE
         out = render_points(points, features, world2cam, K, Hp, Wp,
                             radius_px, points_per_pixel, tile_capacity,
-                            bg_features, tile_chunk)
+                            bg_features, tile_chunk, use_pallas)
         return RasterOut(image=out.image[:H, :W], alpha=out.alpha[:H, :W])
     N, C = features.shape
     ty, tx = H // TILE, W // TILE
@@ -174,7 +179,14 @@ def render_points(
         acc = jnp.sum(w, axis=1)
         return img, acc
 
-    if n_tiles > tile_chunk:
+    if use_pallas:
+        from .pallas.splat import splat_tiles
+
+        imgs, accs = splat_tiles(
+            tile_xy, tile_feat, slot_valid, pix_x, pix_y,
+            r_ndc2, points_per_pixel, 2.0 / H,
+        )
+    elif n_tiles > tile_chunk:
         # bound live memory: vmap within a chunk, scan across chunks
         n_chunks = -(-n_tiles // tile_chunk)
         pad_t = n_chunks * tile_chunk - n_tiles
