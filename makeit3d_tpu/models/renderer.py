@@ -46,6 +46,11 @@ class RenderSettings:
     compute_smooth: bool = True   # lambda_smooth > 0
     smooth_sigma: float = 1e-2
     field_chunk: int = 1 << 17    # samples per rematerialized field chunk
+    # Training-path compositor backend. None = auto (Pallas on TPU). The
+    # Pallas kernel pair (ops/pallas/composite.py) mirrors the CUDA
+    # fwd/bwd (raymarching.cu:500-693) and keeps the composite out of
+    # XLA's fusion soup.
+    pallas_composite: Optional[bool] = None
 
     @staticmethod
     def from_config(cfg, training: bool = True) -> "RenderSettings":
@@ -111,7 +116,22 @@ def render_occupancy(
     rgbs = rgbs.reshape(N, S, 3)
     normals = normals.reshape(N, S, 3)
 
-    comp = composite_rays(sigmas, rgbs, m.dts, m.real_dts, m.valid, s.T_thresh)
+    use_pallas_comp = s.pallas_composite
+    if use_pallas_comp is None:
+        use_pallas_comp = jax.default_backend() == "tpu"
+    if training and use_pallas_comp and N % 256 == 0:
+        from ..ops.pallas.composite import composite_rays_pallas
+
+        ws_p, depth_p, image_p = composite_rays_pallas(
+            sigmas, rgbs, m.dts, m.real_dts, m.valid, s.T_thresh, 256
+        )
+        from ..ops.composite import Composited
+
+        comp = Composited(weights_sum=ws_p, depth=depth_p, image=image_p,
+                          weights=None)
+    else:
+        comp = composite_rays(sigmas, rgbs, m.dts, m.real_dts, m.valid,
+                              s.T_thresh)
 
     results: Dict[str, jnp.ndarray] = {}
     nvalid = jnp.maximum(jnp.sum(m.valid), 1)
