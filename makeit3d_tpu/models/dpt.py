@@ -357,15 +357,40 @@ class DPTBody(nn.Module):
         return [feats[0], feats[1], hooked[3], hooked[4]]
 
 
+class FrozenBatchNorm(nn.Module):
+    """Inference-mode BatchNorm: running stats live as params so porting
+    torch checkpoints is a straight copy. Used only by the segmentation
+    variant (reference: DPT/dpt/blocks.py ResidualConvUnit_custom bn=True)."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        inv = scale * jax.lax.rsqrt(var + self.eps)
+        return (x - mean) * inv + bias
+
+
 class ResidualConvUnit(nn.Module):
     features: int
+    use_bn: bool = False  # seg model: blocks.py:262-271 (bn after each conv)
 
     @nn.compact
     def __call__(self, x):
         h = nn.relu(x)
-        h = nn.Conv(self.features, (3, 3), padding=1, name="convolution1")(h)
+        h = nn.Conv(self.features, (3, 3), padding=1,
+                    use_bias=not self.use_bn, name="convolution1")(h)
+        if self.use_bn:
+            h = FrozenBatchNorm(self.features, name="bn1")(h)
         h = nn.relu(h)
-        h = nn.Conv(self.features, (3, 3), padding=1, name="convolution2")(h)
+        h = nn.Conv(self.features, (3, 3), padding=1,
+                    use_bias=not self.use_bn, name="convolution2")(h)
+        if self.use_bn:
+            h = FrozenBatchNorm(self.features, name="bn2")(h)
         return h + x
 
 
@@ -373,6 +398,7 @@ class FusionLayer(nn.Module):
     """RefineNet-style fusion (reference: DPT/dpt/blocks.py:318-383)."""
 
     features: int
+    use_bn: bool = False
 
     @nn.compact
     def __call__(self, x, residual=None):
@@ -381,8 +407,10 @@ class FusionLayer(nn.Module):
                 residual = interpolate_bilinear(
                     residual, x.shape[1], x.shape[2], align_corners=False
                 )
-            x = x + ResidualConvUnit(self.features, name="residual_layer1")(residual)
-        x = ResidualConvUnit(self.features, name="residual_layer2")(x)
+            x = x + ResidualConvUnit(self.features, use_bn=self.use_bn,
+                                     name="residual_layer1")(residual)
+        x = ResidualConvUnit(self.features, use_bn=self.use_bn,
+                             name="residual_layer2")(x)
         x = interpolate_bilinear(x, x.shape[1] * 2, x.shape[2] * 2,
                                  align_corners=True)
         return nn.Conv(self.features, (1, 1), name="projection")(x)
@@ -390,6 +418,7 @@ class FusionLayer(nn.Module):
 
 class DPTNeck(nn.Module):
     cfg: DPTConfig
+    use_bn: bool = False
 
     @nn.compact
     def __call__(self, hidden_states):
@@ -427,7 +456,7 @@ class DPTNeck(nn.Module):
         # fusion, deepest first (reference: models.py:78-81)
         fused = None
         for j, h in enumerate(out[::-1]):
-            layer = FusionLayer(cfg.fusion_hidden_size,
+            layer = FusionLayer(cfg.fusion_hidden_size, use_bn=self.use_bn,
                                 name=f"fusion_stage.layers_{j}")
             fused = layer(h) if fused is None else layer(fused, h)
         return fused
@@ -461,6 +490,45 @@ class DPTDepthModel(nn.Module):
         hs = DPTBody(self.cfg, name="dpt")(pixels)
         fused = DPTNeck(self.cfg, name="neck")(hs)
         return DPTHead(self.cfg, name="head")(fused)
+
+
+class DPTSegHead(nn.Module):
+    """ADE20K segmentation head (reference: DPT/dpt/models.py:126-145):
+    conv3x3 -> BN -> ReLU -> [dropout, inference no-op] -> conv1x1 to
+    num_classes -> 2x bilinear upsample (align_corners)."""
+
+    cfg: DPTConfig
+    num_classes: int = 150
+
+    @nn.compact
+    def __call__(self, x):
+        f = self.cfg.fusion_hidden_size
+        x = nn.Conv(f, (3, 3), padding=1, use_bias=False, name="head_0")(x)
+        x = FrozenBatchNorm(f, name="head_1")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.num_classes, (1, 1), name="head_4")(x)
+        return interpolate_bilinear(x, x.shape[1] * 2, x.shape[2] * 2,
+                                    align_corners=True)
+
+
+class DPTSegmentationModel(nn.Module):
+    """pixels [B, H, W, 3] (normalized) -> class logits [B, H, W, K].
+
+    Equivalent of the reference's DPTSegmentationModel
+    (DPT/dpt/models.py:126-160): the shared DPT body/neck with BatchNorm
+    enabled in the fusion blocks and a 150-class ADE20K head. The torch
+    auxlayer (:147-153) only feeds the auxiliary training loss and is
+    never used at inference; this inference model omits it.
+    """
+
+    cfg: DPTConfig
+    num_classes: int = 150
+
+    @nn.compact
+    def __call__(self, pixels):
+        hs = DPTBody(self.cfg, name="dpt")(pixels)
+        fused = DPTNeck(self.cfg, use_bn=True, name="neck")(hs)
+        return DPTSegHead(self.cfg, self.num_classes, name="head")(fused)
 
 
 # ---------------------------------------------------------------------------
@@ -507,6 +575,10 @@ def port_hf_dpt(torch_sd: Dict[str, np.ndarray], params: Dict[str, Any],
             cands = [tuple(merged) + ("kernel",), tuple(merged) + ("scale",)]
         elif leaf == "bias":
             cands = [tuple(merged) + ("bias",)]
+        elif leaf == "running_mean":  # FrozenBatchNorm stats (seg model)
+            cands = [tuple(merged) + ("mean",)]
+        elif leaf == "running_var":
+            cands = [tuple(merged) + ("var",)]
         else:  # cls_token / position_embeddings: plain params
             cands = [tuple(merged) + (leaf,)]
         hit = next((c for c in cands if c in index), None)
@@ -631,6 +703,37 @@ def load_dpt_params(weights_path: str, verbose: bool = False):
         sd = midas_to_hf_keys(sd)
     cfg = DPTConfig()
     model = DPTDepthModel(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
+    )["params"]
+    params = port_hf_dpt(sd, params, verbose=verbose)
+    return cfg, params
+
+
+def load_dpt_seg_params(weights_path: str, num_classes: int = 150,
+                        verbose: bool = False):
+    """Port a DPTSegmentationModel checkpoint (dpt_hybrid-ade20k-*.pt,
+    pretrained.*/scratch.*/auxlayer.* layout). The auxlayer (training-only
+    auxiliary head, DPT/dpt/models.py:147-153) is dropped.
+    Returns (DPTConfig, params)."""
+    import os
+
+    from .sd.weights import load_torch_state_dict
+
+    path = weights_path
+    if os.path.isdir(path):
+        for name in ("model.safetensors", "pytorch_model.bin"):
+            cand = os.path.join(path, name)
+            if os.path.exists(cand):
+                path = cand
+                break
+    sd = load_torch_state_dict(path)
+    sd = {k: v for k, v in sd.items() if not k.startswith("auxlayer.")}
+    if any(k.startswith("pretrained.model.") for k in sd):
+        sd = midas_to_hf_keys(sd)
+    cfg = DPTConfig()
+    model = DPTSegmentationModel(cfg, num_classes=num_classes)
     params = model.init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
