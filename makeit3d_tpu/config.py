@@ -105,6 +105,18 @@ class Config:
     desired_resolution: int = 2048
     # rendering compute dtype: float32 | bfloat16
     compute_dtype: str = "float32"
+    # Elastic recovery from TPU worker crashes (the axon v5e relay has a
+    # data/codegen-dependent kernel-fault lottery, docs/TPU_NOTES.md):
+    # catch the runtime fault, restore the last host snapshot, rebuild
+    # the step with a fresh compile salt (new executable), and replay.
+    max_compile_rerolls: int = 3
+    reroll_wait_s: float = 45.0
+    # Run the occupancy march as its own jitted program and materialize
+    # the sample lattice through HBM before the differentiated program.
+    # None = auto (on for TPU). Costs one [N*S*3] round-trip (~50us at
+    # 128^2); sidesteps the v5e Mosaic backward fault (docs/TPU_NOTES.md)
+    # because every backward then consumes jit arguments.
+    split_march: Optional[bool] = None
     # paths to locally available pretrained weights (no network egress):
     sd_weights: Optional[str] = None
     clip_weights: Optional[str] = None

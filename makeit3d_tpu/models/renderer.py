@@ -88,7 +88,16 @@ def render_occupancy(
     bg_color: Any = 1.0,
     perturb: bool = True,
     depth_scale: Optional[jnp.ndarray] = None,
+    marched: Optional["MarchedRays"] = None,
 ) -> Dict[str, jnp.ndarray]:
+    """`marched`: optionally consume pre-marched samples (see march_stage).
+
+    Splitting the march into its own jitted program materializes the
+    sample lattice through HBM; on the axon v5e this sidesteps a Mosaic
+    codegen fault in the fused backward (docs/TPU_NOTES.md) at the cost
+    of one [N*S*3] round-trip (~50us at 128^2) — every backward then
+    consumes jit *arguments*, the shape that passed all fault trials.
+    """
     s = settings
     N = rays_o.shape[0]
     aabb = jnp.asarray([-s.bound] * 3 + [s.bound] * 3, jnp.float32)
@@ -98,11 +107,14 @@ def render_occupancy(
     if light_d is None:
         light_d = sample_light_d(k_light, rays_o)
 
-    m = march_rays(
-        rays_o, rays_d, grid.occ, s.bound, nears, fars,
-        max_steps=s.max_steps, n_samples=s.n_samples,
-        perturb=perturb, key=k_march,
-    )
+    if marched is not None:
+        m = marched
+    else:
+        m = march_rays(
+            rays_o, rays_d, grid.occ, s.bound, nears, fars,
+            max_steps=s.max_steps, n_samples=s.n_samples,
+            perturb=perturb, key=k_march,
+        )
 
     flat_x = m.xyzs.reshape(-1, 3)
     flat_d = m.dirs.reshape(-1, 3)
@@ -179,6 +191,28 @@ def render_occupancy(
     results["weights_sum"] = weights_sum
     results["mask"] = nears < fars
     return results
+
+
+def march_stage(
+    grid: DensityGrid,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    settings: RenderSettings,
+    key: jax.Array,
+    perturb: bool = True,
+):
+    """The march half of render_occupancy, for two-program execution
+    (see the `marched` parameter there). Pure function of the occupancy
+    grid and rays — the field parameters are not involved, so no
+    gradient flows through this program."""
+    s = settings
+    aabb = jnp.asarray([-s.bound] * 3 + [s.bound] * 3, jnp.float32)
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, s.min_near)
+    return march_rays(
+        rays_o, rays_d, grid.occ, s.bound, nears, fars,
+        max_steps=s.max_steps, n_samples=s.n_samples,
+        perturb=perturb, key=key,
+    )
 
 
 def render_pure(

@@ -32,7 +32,12 @@ import numpy as np
 from ..cameras import ViewSampler
 from ..config import Config
 from ..models.field import make_field, SHADING_ALBEDO, SHADING_LAMBERTIAN, SHADING_TEXTURELESS
-from ..models.renderer import RenderSettings, render_occupancy, render_pure
+from ..models.renderer import (
+    RenderSettings,
+    march_stage,
+    render_occupancy,
+    render_pure,
+)
 from ..ops.grid import DensityGrid, init_density_grid, update_density_grid
 from ..utils.workspace import (
     Workspace,
@@ -61,7 +66,7 @@ def build_loss_fn(cfg, field, settings, guidance, is_front: bool):
     for the single-backward SDS reformulation.
     """
 
-    def loss_and_metrics(params, grid, key, batch):
+    def loss_and_metrics(params, grid, key, batch, marched=None):
         H, W = cfg.h, cfg.w
         k_render, k_bg, k_guide = jax.random.split(key, 3)
         bg_color = jax.random.uniform(k_bg, (3,))
@@ -75,6 +80,7 @@ def build_loss_fn(cfg, field, settings, guidance, is_front: bool):
             bg_color=bg_color,
             perturb=True,
             depth_scale=batch["depth_scale"],
+            marched=marched,
         )
         pred_rgb = out["image"].reshape(H, W, 3)
         pred_depth = out["depth"].reshape(H, W)
@@ -159,20 +165,62 @@ def build_loss_fn(cfg, field, settings, guidance, is_front: bool):
     return loss_and_metrics
 
 
-def build_train_step(cfg, field, optimizer, settings, guidance, is_front: bool):
-    """loss -> grad -> Adan update, as one jittable pure function."""
+def build_train_step(cfg, field, optimizer, settings, guidance,
+                     is_front: bool, salt: int = 0):
+    """loss -> grad -> Adan update, as one jittable pure function.
+
+    `salt` perturbs one literal by a relatively-negligible 1e-12*salt so
+    re-rolled compilations produce a distinct executable (the v5e fault
+    is a per-executable codegen lottery; see docs/TPU_NOTES.md).
+    """
     loss_fn = build_loss_fn(cfg, field, settings, guidance, is_front)
 
-    def train_step(params, opt_state, grid, key, batch):
-        gfn = jax.value_and_grad(
-            lambda p: loss_fn(p, grid, key, batch), has_aux=True
-        )
+    def train_step(params, opt_state, grid, key, batch, marched=None):
+        def salted(p):
+            loss, (metrics, aux) = loss_fn(p, grid, key, batch, marched)
+            if salt:
+                loss = loss * (1.0 + 1e-12 * salt)
+            return loss, (metrics, aux)
+
+        gfn = jax.value_and_grad(salted, has_aux=True)
         (_, (metrics, aux)), grads = gfn(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         return params, opt_state, metrics, aux
 
     return train_step
+
+
+def make_train_step(cfg, field, optimizer, settings, guidance,
+                    is_front: bool, split: Optional[bool] = None,
+                    salt: int = 0):
+    """Jitted train step, optionally as two programs (march | step).
+
+    split=None follows cfg.split_march (auto: on for TPU). The march
+    program is parameter-free, so the differentiated program's backward
+    consumes only materialized jit arguments — the execution shape that
+    avoids the v5e Mosaic codegen fault (docs/TPU_NOTES.md).
+    """
+    if split is None:
+        split = cfg.split_march
+    if split is None:
+        split = jax.default_backend() == "tpu"
+    inner = jax.jit(build_train_step(
+        cfg, field, optimizer, settings, guidance, is_front=is_front,
+        salt=salt))
+    if not split:
+        return inner
+
+    march_jit = jax.jit(
+        lambda grid, ro, rd, k: march_stage(grid, ro, rd, settings, k,
+                                            perturb=True))
+
+    def stepped(params, opt_state, grid, key, batch):
+        k_march, k_rest = jax.random.split(key)
+        m = march_jit(grid, batch["rays_o"], batch["rays_d"], k_march)
+        return inner(params, opt_state, grid, k_rest, batch, m)
+
+    return stepped
 
 
 class Trainer:
@@ -217,6 +265,8 @@ class Trainer:
         self.global_step = 0
         self.stats: Dict[str, Any] = {"loss": []}
         self._host_rng = np.random.default_rng(seed)
+        self._compile_salt = 0   # bumped per re-roll (see step())
+        self._host_snapshot = None
 
         # text conditioning (reference: utils.py:370-401)
         self.text_z = None
@@ -233,6 +283,7 @@ class Trainer:
                 self.ws.log("[WARN] No checkpoint found, model randomly initialized.")
         elif use_checkpoint not in ("scratch", None):
             self.load_checkpoint(use_checkpoint)
+        self.take_host_snapshot()
 
     # ------------------------------------------------------------------
     def prepare_text_embeddings(self):
@@ -267,9 +318,9 @@ class Trainer:
 
         self._update_grid = update_grid
         self._train_step = {
-            front: jax.jit(build_train_step(
+            front: make_train_step(
                 cfg, self.field, self.optimizer, self.settings_train,
-                self.guidance, is_front=front))
+                self.guidance, is_front=front, salt=self._compile_salt)
             for front in (True, False)
         }
 
@@ -342,35 +393,98 @@ class Trainer:
         self.ws.log(
             f"==> Start Training {self.ws.root} Epoch {self.epoch}, lr={lr:.6f} ..."
         )
-        for i in range(sampler.size):
-            if self.global_step % cfg.update_extra_interval == 0:
-                self.key, k = jax.random.split(self.key)
-                self.grid = self._update_grid(self.params, self.grid, k)
-            batch_np = sampler.get(i)
-            metrics, aux = self.step(batch_np)
-            loss = float(metrics["loss"])
-            total_loss += loss
-            n += 1
-            self.ws.scalar("train/loss", loss, self.global_step)
-            if self.global_step % 10 == 0:
-                parts = " ".join(
-                    f"{k}={float(v):.4f}" for k, v in sorted(metrics.items())
-                )
-                self.ws.log(f"step {self.global_step}: {parts}")
-            if self.global_step % 100 == 0 or self.global_step == 1:
-                save_image_u8(
-                    os.path.join(self.ws.train_dir, f"{self.global_step}.png"),
-                    np.asarray(aux["pred_rgb"]),
-                )
-                save_image_u8(
-                    os.path.join(self.ws.train_dir, f"{self.global_step}_gt.png"),
-                    np.asarray(aux["gt_rgb"]),
-                )
+        rolls = 0
+        i = 0
+        while i < sampler.size:
+            try:
+                if self.global_step % cfg.update_extra_interval == 0:
+                    self.key, k = jax.random.split(self.key)
+                    self.grid = self._update_grid(self.params, self.grid, k)
+                    self.take_host_snapshot()  # rollback point for re-rolls
+                batch_np = sampler.get(i)
+                metrics, aux = self.step(batch_np)
+                # Host syncs are expensive through the axon relay (a
+                # per-step loss.item() like the reference's utils.py:991
+                # costs ~6x throughput); read scalars back only at the
+                # logging cadence and let the steps in between pipeline.
+                if self.global_step % 10 == 0:
+                    loss = float(metrics["loss"])
+                    total_loss += loss
+                    n += 1
+                    self.ws.scalar("train/loss", loss, self.global_step)
+                    parts = " ".join(
+                        f"{k}={float(v):.4f}" for k, v in sorted(metrics.items())
+                    )
+                    self.ws.log(f"step {self.global_step}: {parts}")
+                if self.global_step % 100 == 0 or self.global_step == 1:
+                    save_image_u8(
+                        os.path.join(self.ws.train_dir, f"{self.global_step}.png"),
+                        np.asarray(aux["pred_rgb"]),
+                    )
+                    save_image_u8(
+                        os.path.join(self.ws.train_dir, f"{self.global_step}_gt.png"),
+                        np.asarray(aux["gt_rgb"]),
+                    )
+                i += 1
+            except jax.errors.JaxRuntimeError as e:
+                rolls += 1
+                if (rolls > cfg.max_compile_rerolls
+                        or not self._recover_from_fault(e)):
+                    raise
         self.stats["loss"].append(total_loss / max(n, 1))
         self.ws.log(f"==> Finished Epoch {self.epoch}.")
 
+    # ------------------------------------------------------------------
+    # elastic recovery (no reference equivalent; SURVEY.md §5.3 records
+    # the reference has none). The axon v5e backend loses some compiles
+    # to a per-executable codegen fault that kills the TPU worker at
+    # runtime (docs/TPU_NOTES.md). Recovery: snapshot train state to host
+    # regularly; on a worker crash, wait for the relay to respawn,
+    # restore the snapshot, rebuild the step with a fresh compile salt
+    # (new executable), and replay.
+
+    def take_host_snapshot(self):
+        self._host_snapshot = {
+            "params": jax.tree.map(np.asarray, self.params),
+            "opt_state": jax.tree.map(np.asarray, self.opt_state),
+            "grid": jax.tree.map(np.asarray, self.grid),
+            "global_step": self.global_step,
+            "key": np.asarray(self.key),
+        }
+
+    def _recover_from_fault(self, err: Exception) -> bool:
+        cfg = self.cfg
+        if self._host_snapshot is None:
+            return False
+        self._compile_salt += 1
+        self.ws.log(
+            f"[WARN] TPU worker fault at step {self.global_step} "
+            f"({type(err).__name__}); re-roll #{self._compile_salt}: "
+            f"waiting {cfg.reroll_wait_s:.0f}s, restoring snapshot at "
+            f"step {self._host_snapshot['global_step']}, recompiling."
+        )
+        time.sleep(cfg.reroll_wait_s)
+        snap = self._host_snapshot
+        try:
+            self.params = jax.tree.map(jnp.asarray, snap["params"])
+            self.opt_state = jax.tree.map(jnp.asarray, snap["opt_state"])
+            self.global_step = snap["global_step"]
+            self.key = jnp.asarray(snap["key"])
+            # the pre-crash grid is dead device memory; restore from host
+            self.grid = jax.tree.map(jnp.asarray, snap["grid"])
+            self._build_jits()
+            jax.block_until_ready(self.grid.occ)
+        except jax.errors.JaxRuntimeError:
+            # worker still down; one more wait, then let the caller retry
+            time.sleep(cfg.reroll_wait_s)
+            return self._recover_from_fault(err) \
+                if self._compile_salt < cfg.max_compile_rerolls else False
+        return True
+
     def step(self, view) -> tuple:
-        """One optimization step from a sampled ViewBatch."""
+        """One optimization step from a sampled ViewBatch. Worker-fault
+        recovery wraps the epoch loop (train_one_epoch), which is where
+        device scalars are read back."""
         cfg = self.cfg
         self.global_step += 1
         gs = self.global_step
@@ -411,6 +525,12 @@ class Trainer:
         self.params, self.opt_state, metrics, aux = self._train_step[
             view.is_front
         ](self.params, self.opt_state, self.grid, k, batch)
+        # Surface worker faults inside the re-roll guard, but only at the
+        # snapshot cadence — blocking every step through the axon relay
+        # costs ~6x throughput (the reference syncs per step via
+        # loss.item(), utils.py:991; we deliberately do not).
+        if gs % cfg.update_extra_interval == 0:
+            jax.block_until_ready(metrics["loss"])
         return metrics, aux
 
     # ------------------------------------------------------------------
