@@ -113,9 +113,8 @@ class Config:
     reroll_wait_s: float = 45.0
     # Run the occupancy march as its own jitted program and materialize
     # the sample lattice through HBM before the differentiated program.
-    # None = auto (on for TPU). Costs one [N*S*3] round-trip (~50us at
-    # 128^2); sidesteps the v5e Mosaic backward fault (docs/TPU_NOTES.md)
-    # because every backward then consumes jit arguments.
+    # None = off (measured: does NOT avoid the v5e fault lottery, see
+    # docs/TPU_NOTES.md 2026-08-16 follow-up; kept as an experiment knob).
     split_march: Optional[bool] = None
     # paths to locally available pretrained weights (no network egress):
     sd_weights: Optional[str] = None

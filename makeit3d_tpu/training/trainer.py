@@ -196,15 +196,15 @@ def make_train_step(cfg, field, optimizer, settings, guidance,
                     salt: int = 0):
     """Jitted train step, optionally as two programs (march | step).
 
-    split=None follows cfg.split_march (auto: on for TPU). The march
-    program is parameter-free, so the differentiated program's backward
-    consumes only materialized jit arguments — the execution shape that
-    avoids the v5e Mosaic codegen fault (docs/TPU_NOTES.md).
+    split=None follows cfg.split_march (default off). Measured on the
+    axon v5e (docs/TPU_NOTES.md 2026-08-16 follow-up): splitting does
+    NOT dodge the codegen fault lottery — the fault tracks the data
+    regime, not in-program vs materialized lattices. Kept as an
+    experiment knob; the elastic re-roll recovery (Trainer) is the
+    production mitigation.
     """
     if split is None:
-        split = cfg.split_march
-    if split is None:
-        split = jax.default_backend() == "tpu"
+        split = bool(cfg.split_march)
     inner = jax.jit(build_train_step(
         cfg, field, optimizer, settings, guidance, is_front=is_front,
         salt=salt))
