@@ -23,7 +23,9 @@ def main():
 
     from makeit3d_tpu.cameras import ViewSampler
     from makeit3d_tpu.config import Config
-    from makeit3d_tpu.models.field import make_field, SHADING_ALBEDO
+    from makeit3d_tpu.models.field import (
+        make_field, SHADING_ALBEDO, SHADING_LAMBERTIAN, SHADING_TEXTURELESS,
+    )
     from makeit3d_tpu.models.renderer import RenderSettings
     from makeit3d_tpu.ops.grid import init_density_grid, update_density_grid
     from makeit3d_tpu.training.optimizer import make_lr_schedule, make_optimizer
@@ -44,16 +46,33 @@ def main():
             k, cfg.bound, cfg.density_thresh,
         )
     )
-    step_front = jax.jit(build_train_step(cfg, field, optimizer, settings,
-                                          None, is_front=True))
-    step_novel = jax.jit(build_train_step(cfg, field, optimizer, settings,
-                                          None, is_front=False))
+    # the Trainer's three static program variants (front is always albedo;
+    # novel steps past albedo_iters sample 50% albedo / 10% textureless /
+    # 40% lambertian — reference utils.py:470-483)
+    steps = {
+        (front, shaded): jax.jit(build_train_step(
+            cfg, field, optimizer, settings, None, is_front=front,
+            shaded=shaded))
+        for front, shaded in ((True, False), (False, False), (False, True))
+    }
 
     sampler = ViewSampler(cfg, type="train", H=cfg.h, W=cfg.w, size=100, seed=0)
+    rng = np.random.default_rng(0)
 
     def make_batch(i):
         view = sampler.get(i)
-        return view.is_front, {
+        if view.is_front:
+            shading, ambient = SHADING_ALBEDO, 1.0
+        else:
+            r = rng.random()
+            if r > 0.5:
+                shading, ambient = SHADING_ALBEDO, 1.0
+            elif r > 0.4:
+                shading, ambient = SHADING_TEXTURELESS, 0.1
+            else:
+                shading, ambient = SHADING_LAMBERTIAN, 0.1
+        fn = steps[(view.is_front, shading != SHADING_ALBEDO)]
+        return fn, {
             "rays_o": jnp.asarray(view.rays_o.reshape(-1, 3)),
             "rays_d": jnp.asarray(view.rays_d.reshape(-1, 3)),
             "depth_scale": jnp.asarray(view.depth_scale.reshape(-1)),
@@ -62,8 +81,8 @@ def main():
             "obj_mask": jnp.ones((512, 512)),
             "is_large": jnp.asarray(0.0),
             "diff_phase": jnp.asarray(0.0),
-            "shading_mode": jnp.asarray(SHADING_ALBEDO, jnp.int32),
-            "ambient_ratio": jnp.asarray(1.0),
+            "shading_mode": jnp.asarray(shading, jnp.int32),
+            "ambient_ratio": jnp.asarray(ambient, jnp.float32),
         }
 
     # Realistic asset occupancy: a fresh field is ~0.5% occupied and rays
@@ -75,13 +94,15 @@ def main():
     sphere = (np.sqrt((coords**2).sum(0)) < 0.6).astype(np.uint8)
     grid = grid._replace(occ=jnp.asarray(sphere[None].repeat(cfg.cascade, 0)))
 
-    # warmup / compile
+    # warmup / compile all three program variants explicitly
     _ = update_grid(params, grid, key)  # compiled; cadence cost timed below
-    for i in range(2):
-        is_front, batch = make_batch(i)
-        fn = step_front if is_front else step_novel
+    _, front_batch = make_batch(0)   # i % 4 == 0 -> front view
+    _, novel_batch = make_batch(1)
+    for (front, shaded), fn in steps.items():
+        batch = front_batch if front else novel_batch
         params, opt_state, metrics, _ = fn(params, opt_state, grid, key, batch)
     jax.block_until_ready(metrics["loss"])
+    rng = np.random.default_rng(0)  # reset the shading-mix stream
 
     # timed run, including the every-16-step grid refresh like training
     n_steps = 40
@@ -91,8 +112,7 @@ def main():
             # cadence cost is timed, but occupancy stays the synthetic
             # sphere so the marching workload remains asset-realistic
             _ = update_grid(params, grid, key)
-        is_front, batch = make_batch(i)
-        fn = step_front if is_front else step_novel
+        fn, batch = make_batch(i)
         params, opt_state, metrics, _ = fn(params, opt_state, grid, key, batch)
     jax.block_until_ready(metrics["loss"])
     dt = time.time() - t0

@@ -225,11 +225,23 @@ def apply_field(
     light_d=None,
     ratio=1.0,
     shading_mode=SHADING_ALBEDO,
+    shaded: bool = True,
 ):
     """(sigma, color, normal) with shading — the renderer's entry point.
 
     reference: NeRFNetwork.forward (network_tcnn.py:140-170).
+
+    `shaded` is a STATIC flag: False compiles the albedo-only program the
+    reference runs for `shading == 'albedo'` (network_tcnn.py:141-144 —
+    no normal computation at all), skipping the 6 finite-difference
+    probes (7x fewer field evals). Normals come back as zeros; callers
+    must not consume them (the renderer drops orient/smooth losses in
+    this mode, matching the reference's `if normals is not None` gates,
+    renderer.py:513-524).
     """
+    if not shaded:
+        sigma, albedo = field.apply(variables, x, method="common")
+        return sigma, albedo, jnp.zeros((x.shape[0], 3), albedo.dtype)
     sigma, albedo, normal = sigma_albedo_normal(field, variables, x)
     if light_d is None:
         light_d = jnp.asarray([0.0, 0.0, 1.0])
@@ -243,7 +255,8 @@ def field_density(field: nn.Module, variables, x):
     return field.apply(variables, x, method="density")
 
 
-def _chunked_field_vjp(field: nn.Module, n_chunks: int, chunk: int):
+def _chunked_field_vjp(field: nn.Module, n_chunks: int, chunk: int,
+                       shaded: bool = True):
     """Build a custom-VJP chunked field evaluator.
 
     Why custom VJP instead of jax.checkpoint + autodiff: on the v5e the
@@ -263,7 +276,7 @@ def _chunked_field_vjp(field: nn.Module, n_chunks: int, chunk: int):
     def eval_fn(variables, xp, dp, light_d, ratio, shading_mode):
         def body(c):
             return apply_field(field, variables, c[0], c[1], light_d,
-                               ratio, shading_mode)
+                               ratio, shading_mode, shaded=shaded)
 
         return jax.lax.map(
             body, (xp.reshape(n_chunks, chunk, 3),
@@ -287,7 +300,7 @@ def _chunked_field_vjp(field: nn.Module, n_chunks: int, chunk: int):
 
             def one(v):
                 return apply_field(field, v, xx, dd, light_d, ratio,
-                                   shading_mode)
+                                   shading_mode, shaded=shaded)
 
             _, vjp_fn = jax.vjp(one, variables)
             (dv,) = vjp_fn((cs, cc, cn))
@@ -315,6 +328,7 @@ def apply_field_chunked(
     ratio=1.0,
     shading_mode=SHADING_ALBEDO,
     chunk: int = 1 << 17,
+    shaded: bool = True,
 ):
     """apply_field over [M] samples in memory-bounded chunks.
 
@@ -327,7 +341,8 @@ def apply_field_chunked(
     """
     M = x.shape[0]
     if M <= chunk:
-        return apply_field(field, variables, x, d, light_d, ratio, shading_mode)
+        return apply_field(field, variables, x, d, light_d, ratio,
+                           shading_mode, shaded=shaded)
     if light_d is None:
         light_d = jnp.asarray([0.0, 0.0, 1.0])
     ratio = jnp.asarray(ratio, jnp.float32)
@@ -335,7 +350,7 @@ def apply_field_chunked(
     pad = n_chunks * chunk - M
     xp = jnp.pad(x, ((0, pad), (0, 0)))
     dp = jnp.pad(d, ((0, pad), (0, 0)))
-    f = _chunked_field_vjp(field, n_chunks, chunk)
+    f = _chunked_field_vjp(field, n_chunks, chunk, shaded=shaded)
     sigma, color, normal = f(variables, xp, dp, light_d, ratio, shading_mode)
     return (
         sigma.reshape(-1)[:M],

@@ -89,8 +89,14 @@ def render_occupancy(
     perturb: bool = True,
     depth_scale: Optional[jnp.ndarray] = None,
     marched: Optional["MarchedRays"] = None,
+    shaded: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """`marched`: optionally consume pre-marched samples (see march_stage).
+
+    `shaded` (STATIC): False compiles the reference's albedo-mode program
+    (network_tcnn.py:141-144) — no finite-difference normal probes (7x
+    fewer field evals) and, matching the reference's `normals is not
+    None` gates (renderer.py:513-524), no orient/smooth losses.
 
     Splitting the march into its own jitted program materializes the
     sample lattice through HBM; on the axon v5e this sidesteps a Mosaic
@@ -121,7 +127,7 @@ def render_occupancy(
     sigmas, rgbs, normals = apply_field_chunked(
         field, variables, flat_x, flat_d,
         light_d=light_d, ratio=ambient_ratio, shading_mode=shading_mode,
-        chunk=s.field_chunk,
+        chunk=s.field_chunk, shaded=shaded,
     )
     S = s.n_samples
     sigmas = sigmas.reshape(N, S)
@@ -152,7 +158,7 @@ def render_occupancy(
     # budget is static so this only feeds observability, not buffer sizing.
     results["n_valid"] = nvalid
 
-    if training:
+    if training and shaded:
         # orientation loss: back-facing normals with positive weight are
         # penalized (reference: renderer.py:513-518, CUDA-path variant
         # uses w = 1 - exp(-sigma), not alpha*T)

@@ -59,11 +59,16 @@ from .optimizer import make_lr_schedule, make_optimizer
 
 
 
-def build_loss_fn(cfg, field, settings, guidance, is_front: bool):
-    """The per-step loss as a pure function (front|novel variants).
+def build_loss_fn(cfg, field, settings, guidance, is_front: bool,
+                  shaded: bool = True):
+    """The per-step loss as a pure function (front|novel x albedo|shaded
+    variants).
 
     reference: nerf/utils.py:461-574 train_step. See the class docstring
-    for the single-backward SDS reformulation.
+    for the single-backward SDS reformulation. `shaded=False` is the
+    albedo-mode program: no normal probes, and — matching the
+    reference's `normals is not None` gates (renderer.py:513-524) — no
+    orient/smooth losses.
     """
 
     def loss_and_metrics(params, grid, key, batch, marched=None):
@@ -81,6 +86,7 @@ def build_loss_fn(cfg, field, settings, guidance, is_front: bool):
             perturb=True,
             depth_scale=batch["depth_scale"],
             marched=marched,
+            shaded=shaded,
         )
         pred_rgb = out["image"].reshape(H, W, 3)
         pred_depth = out["depth"].reshape(H, W)
@@ -109,13 +115,13 @@ def build_loss_fn(cfg, field, settings, guidance, is_front: bool):
             l_ent = entropy_loss(pred_ws)
             loss += cfg.lambda_entropy * l_ent * (1.0 + 9.0 * diff_phase)
             metrics["loss_entropy"] = l_ent
-        if cfg.lambda_orient > 0:
+        if cfg.lambda_orient > 0 and shaded:
             # reference adds lambda*loss once plus (1x | 10x) more
             # (utils.py:538-544): effective 2x pre-diff, 11x after
             l_or = out["loss_orient"]
             loss += cfg.lambda_orient * l_or * (2.0 + 9.0 * diff_phase)
             metrics["loss_orient"] = l_or
-        if cfg.lambda_smooth > 0:
+        if cfg.lambda_smooth > 0 and shaded:
             loss += cfg.lambda_smooth * out["loss_smooth"]
             metrics["loss_smooth"] = out["loss_smooth"]
 
@@ -166,14 +172,15 @@ def build_loss_fn(cfg, field, settings, guidance, is_front: bool):
 
 
 def build_train_step(cfg, field, optimizer, settings, guidance,
-                     is_front: bool, salt: int = 0):
+                     is_front: bool, salt: int = 0, shaded: bool = True):
     """loss -> grad -> Adan update, as one jittable pure function.
 
     `salt` perturbs one literal by a relatively-negligible 1e-12*salt so
     re-rolled compilations produce a distinct executable (the v5e fault
     is a per-executable codegen lottery; see docs/TPU_NOTES.md).
     """
-    loss_fn = build_loss_fn(cfg, field, settings, guidance, is_front)
+    loss_fn = build_loss_fn(cfg, field, settings, guidance, is_front,
+                            shaded=shaded)
 
     def train_step(params, opt_state, grid, key, batch, marched=None):
         def salted(p):
@@ -193,7 +200,7 @@ def build_train_step(cfg, field, optimizer, settings, guidance,
 
 def make_train_step(cfg, field, optimizer, settings, guidance,
                     is_front: bool, split: Optional[bool] = None,
-                    salt: int = 0):
+                    salt: int = 0, shaded: bool = True):
     """Jitted train step, optionally as two programs (march | step).
 
     split=None follows cfg.split_march (default off). Measured on the
@@ -207,7 +214,7 @@ def make_train_step(cfg, field, optimizer, settings, guidance,
         split = bool(cfg.split_march)
     inner = jax.jit(build_train_step(
         cfg, field, optimizer, settings, guidance, is_front=is_front,
-        salt=salt))
+        salt=salt, shaded=shaded))
     if not split:
         return inner
 
@@ -317,11 +324,17 @@ class Trainer:
             )
 
         self._update_grid = update_grid
+        # Three static program variants (front is always albedo-shaded,
+        # reference utils.py:470-483): (front, albedo), (novel, albedo),
+        # (novel, shaded). Albedo programs skip the 6 finite-difference
+        # normal probes — 7x fewer field evals (network_tcnn.py:141-144).
         self._train_step = {
-            front: make_train_step(
+            (front, shaded): make_train_step(
                 cfg, self.field, self.optimizer, self.settings_train,
-                self.guidance, is_front=front, salt=self._compile_salt)
-            for front in (True, False)
+                self.guidance, is_front=front, salt=self._compile_salt,
+                shaded=shaded)
+            for front, shaded in ((True, False), (False, False),
+                                  (False, True))
         }
 
         @functools.partial(jax.jit, static_argnames=("n_samples",))
@@ -523,7 +536,7 @@ class Trainer:
 
         self.key, k = jax.random.split(self.key)
         self.params, self.opt_state, metrics, aux = self._train_step[
-            view.is_front
+            (view.is_front, shading != SHADING_ALBEDO)
         ](self.params, self.opt_state, self.grid, k, batch)
         # Surface worker faults inside the re-roll guard, but only at the
         # snapshot cadence — blocking every step through the axon relay

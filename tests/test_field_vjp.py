@@ -104,3 +104,34 @@ def test_chunked_with_padding_tail(setup):
     v2, g2 = jax.value_and_grad(loss(256))(params)   # padded chunked path
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
     _assert_tree_close(g1, g2)
+
+
+def test_unshaded_matches_albedo_shading(setup):
+    """shaded=False (no FD probes, reference network_tcnn.py:141-144)
+    must produce the same sigma/color values and gradients as the shaded
+    program evaluated in ALBEDO mode."""
+    from makeit3d_tpu.models.field import SHADING_ALBEDO
+
+    field, params, x, d, ct = setup
+    ld = jnp.asarray([0.0, 0.0, -1.0])
+
+    def loss_shaded(p):
+        s, c, n = apply_field_chunked(field, p, x, d, ld, 1.0,
+                                      SHADING_ALBEDO, chunk=256)
+        return jnp.sum(s * ct) + jnp.sum(c * 1.7)
+
+    s_, c_, n_ = apply_field_chunked(field, params, x, d, ld, 1.0,
+                                     SHADING_ALBEDO, chunk=256,
+                                     shaded=False)
+    assert np.allclose(np.asarray(n_), 0.0)
+
+    def loss_albedo(p):
+        s, c, n = apply_field_chunked(field, p, x, d, ld, 1.0,
+                                      SHADING_ALBEDO, chunk=256,
+                                      shaded=False)
+        return jnp.sum(s * ct) + jnp.sum(c * 1.7)
+
+    v1, g1 = jax.value_and_grad(loss_shaded)(params)
+    v2, g2 = jax.value_and_grad(loss_albedo)(params)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    _assert_tree_close(g1, g2)
