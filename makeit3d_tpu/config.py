@@ -111,6 +111,11 @@ class Config:
     # the step with a fresh compile salt (new executable), and replay.
     max_compile_rerolls: int = 3
     reroll_wait_s: float = 45.0
+    # watchdog deadline for one train-loop iteration (covers dispatch,
+    # remote compile, and the cadence sync; a dead relay RPC otherwise
+    # blocks forever with no exception). Generous: first compiles through
+    # the remote-compile relay have been observed taking minutes.
+    step_timeout_s: float = 600.0
     # Run the occupancy march as its own jitted program and materialize
     # the sample lattice through HBM before the differentiated program.
     # None = off (measured: does NOT avoid the v5e fault lottery, see

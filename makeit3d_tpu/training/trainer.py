@@ -39,6 +39,7 @@ from ..models.renderer import (
     render_pure,
 )
 from ..ops.grid import DensityGrid, init_density_grid, update_density_grid
+from ..utils import watchdog
 from ..utils.workspace import (
     Workspace,
     latest_checkpoint,
@@ -406,40 +407,51 @@ class Trainer:
         self.ws.log(
             f"==> Start Training {self.ws.root} Epoch {self.epoch}, lr={lr:.6f} ..."
         )
+        def body(i):
+            if self.global_step % cfg.update_extra_interval == 0:
+                self.key, k = jax.random.split(self.key)
+                self.grid = self._update_grid(self.params, self.grid, k)
+                self.take_host_snapshot()  # rollback point for re-rolls
+            batch_np = sampler.get(i)
+            metrics, aux = self.step(batch_np)
+            # Host syncs are expensive through the axon relay (a
+            # per-step loss.item() like the reference's utils.py:991
+            # costs ~6x throughput); read scalars back only at the
+            # logging cadence and let the steps in between pipeline.
+            if self.global_step % 10 == 0:
+                loss = float(metrics["loss"])
+                self.ws.scalar("train/loss", loss, self.global_step)
+                parts = " ".join(
+                    f"{k}={float(v):.4f}" for k, v in sorted(metrics.items())
+                )
+                self.ws.log(f"step {self.global_step}: {parts}")
+                return loss
+            if self.global_step % 100 == 0 or self.global_step == 1:
+                save_image_u8(
+                    os.path.join(self.ws.train_dir, f"{self.global_step}.png"),
+                    np.asarray(aux["pred_rgb"]),
+                )
+                save_image_u8(
+                    os.path.join(self.ws.train_dir, f"{self.global_step}_gt.png"),
+                    np.asarray(aux["gt_rgb"]),
+                )
+            return None
+
         rolls = 0
         i = 0
         while i < sampler.size:
             try:
-                if self.global_step % cfg.update_extra_interval == 0:
-                    self.key, k = jax.random.split(self.key)
-                    self.grid = self._update_grid(self.params, self.grid, k)
-                    self.take_host_snapshot()  # rollback point for re-rolls
-                batch_np = sampler.get(i)
-                metrics, aux = self.step(batch_np)
-                # Host syncs are expensive through the axon relay (a
-                # per-step loss.item() like the reference's utils.py:991
-                # costs ~6x throughput); read scalars back only at the
-                # logging cadence and let the steps in between pipeline.
-                if self.global_step % 10 == 0:
-                    loss = float(metrics["loss"])
+                # the watchdog bounds every device interaction (dispatch,
+                # compile, sync): a dead relay RPC otherwise blocks the
+                # process forever with no exception (docs/TPU_NOTES.md)
+                loss = watchdog.call_with_timeout(
+                    functools.partial(body, i), cfg.step_timeout_s)
+                if loss is not None:
                     total_loss += loss
                     n += 1
-                    self.ws.scalar("train/loss", loss, self.global_step)
-                    parts = " ".join(
-                        f"{k}={float(v):.4f}" for k, v in sorted(metrics.items())
-                    )
-                    self.ws.log(f"step {self.global_step}: {parts}")
-                if self.global_step % 100 == 0 or self.global_step == 1:
-                    save_image_u8(
-                        os.path.join(self.ws.train_dir, f"{self.global_step}.png"),
-                        np.asarray(aux["pred_rgb"]),
-                    )
-                    save_image_u8(
-                        os.path.join(self.ws.train_dir, f"{self.global_step}_gt.png"),
-                        np.asarray(aux["gt_rgb"]),
-                    )
                 i += 1
-            except jax.errors.JaxRuntimeError as e:
+            except (jax.errors.JaxRuntimeError,
+                    watchdog.DeviceHangError) as e:
                 rolls += 1
                 if (rolls > cfg.max_compile_rerolls
                         or not self._recover_from_fault(e)):
@@ -478,7 +490,8 @@ class Trainer:
         )
         time.sleep(cfg.reroll_wait_s)
         snap = self._host_snapshot
-        try:
+
+        def restore():
             self.params = jax.tree.map(jnp.asarray, snap["params"])
             self.opt_state = jax.tree.map(jnp.asarray, snap["opt_state"])
             self.global_step = snap["global_step"]
@@ -487,7 +500,10 @@ class Trainer:
             self.grid = jax.tree.map(jnp.asarray, snap["grid"])
             self._build_jits()
             jax.block_until_ready(self.grid.occ)
-        except jax.errors.JaxRuntimeError:
+
+        try:
+            watchdog.call_with_timeout(restore, cfg.step_timeout_s)
+        except (jax.errors.JaxRuntimeError, watchdog.DeviceHangError):
             # worker still down; one more wait, then let the caller retry
             time.sleep(cfg.reroll_wait_s)
             return self._recover_from_fault(err) \
