@@ -116,6 +116,12 @@ class Config:
     # blocks forever with no exception). Generous: first compiles through
     # the remote-compile relay have been observed taking minutes.
     step_timeout_s: float = 600.0
+    # elastic-recovery snapshot cadence, in steps. A snapshot pulls
+    # params + optimizer EMAs (~270 MB for the default field) to host,
+    # which costs seconds through the axon relay — every-16-steps
+    # (the grid cadence) measured ~0.2 it/s vs ~50+ it/s without.
+    # Recovery replays at most this many steps.
+    snapshot_interval: int = 500
     # Run the occupancy march as its own jitted program and materialize
     # the sample lattice through HBM before the differentiated program.
     # None = off (measured: does NOT avoid the v5e fault lottery, see

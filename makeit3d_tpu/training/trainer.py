@@ -411,7 +411,11 @@ class Trainer:
             if self.global_step % cfg.update_extra_interval == 0:
                 self.key, k = jax.random.split(self.key)
                 self.grid = self._update_grid(self.params, self.grid, k)
-                self.take_host_snapshot()  # rollback point for re-rolls
+            if self.global_step % cfg.snapshot_interval == 0:
+                # rollback point for re-rolls. Decoupled from the grid
+                # cadence: a snapshot drags ~270 MB of params+EMAs
+                # through the relay (seconds), so it must be rare.
+                self.take_host_snapshot()
             batch_np = sampler.get(i)
             metrics, aux = self.step(batch_np)
             # Host syncs are expensive through the axon relay (a
