@@ -159,17 +159,23 @@ def march_rays(
     want = jnp.arange(1, S + 1, dtype=jnp.int32)  # [S]
     # slot s <- smallest k with cum[k] == s+1  (vectorized searchsorted)
     slot_idx = jax.vmap(lambda c: jnp.searchsorted(c, want, side="left"))(cum)
-    slot_idx = jnp.minimum(slot_idx, K - 1)  # [N, S]
     valid = want[None, :] <= total[:, None]  # [N, S]
+    # Invalid slots get DISTINCT fallback lattice indices (evenly spread
+    # over the ray) instead of all clamping to K-1. Clamping gave every
+    # invalid slot of a ray the SAME position; on a realistically sparse
+    # grid ~98% of samples then hash-gathered the same few table rows and
+    # the encode backward's scatter-add serialized on the collision flood
+    # (measured: 0.16 it/s vs 112 it/s dense — a 700x data-dependent
+    # cliff). Spread fallbacks keep positions unique; their cotangents
+    # are zero either way (composite/orient/smooth all mask on `valid`).
+    fallback = (jnp.arange(S, dtype=jnp.int32) * (K // S))[None, :]
+    slot_idx = jnp.where(valid, jnp.minimum(slot_idx, K - 1), fallback)
 
     t_s = jnp.take_along_axis(t, slot_idx, axis=-1)  # [N, S]
-    # Invalid slots keep their (clamped-slot) lattice positions instead of
-    # being zeroed: the composite masks their sigmas/weights via `valid`
-    # (compaction makes `valid` a prefix mask, so the prev-sample depth
-    # chain is unaffected), the extra field evals are gradient-free either
-    # way, and feeding smooth real coordinates avoids the degenerate
-    # all-identical-position flood that triggered a data-dependent Mosaic
-    # kernel fault on v5e (sparse-occupancy steps crashed the TPU worker).
+    # Invalid slots thus hold real, per-slot-distinct lattice positions:
+    # the composite masks their sigmas/weights via `valid` (compaction
+    # makes `valid` a prefix mask, so the prev-sample depth chain is
+    # unaffected) and the extra field evals are gradient-free.
     xyzs = rays_o[:, None, :] + rays_d[:, None, :] * t_s[..., None]
     xyzs = jnp.clip(xyzs, -bound, bound)
     dirs = jnp.broadcast_to(rays_d[:, None, :], (N, S, 3))

@@ -422,7 +422,9 @@ class Trainer:
             # per-step loss.item() like the reference's utils.py:991
             # costs ~6x throughput); read scalars back only at the
             # logging cadence and let the steps in between pipeline.
-            if self.global_step % 10 == 0:
+            # Cadence 9 (coprime to the every-4th-front view schedule)
+            # so front-step metrics (loss_img/loss_depth) surface too.
+            if self.global_step % 9 == 0:
                 loss = float(metrics["loss"])
                 self.ws.scalar("train/loss", loss, self.global_step)
                 parts = " ".join(
