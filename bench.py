@@ -59,6 +59,16 @@ def main():
     sampler = ViewSampler(cfg, type="train", H=cfg.h, W=cfg.w, size=100, seed=0)
     rng = np.random.default_rng(0)
 
+    # constant reference buffers uploaded ONCE (the Trainer does the same;
+    # re-uploading 6 MB per step makes the loop tunnel-bandwidth-bound)
+    consts = {
+        "ref_rgba": jnp.zeros((512, 512, 4)),
+        "ref_depth": jnp.full((512, 512), 0.5),
+        "obj_mask": jnp.ones((512, 512)),
+        "is_large": jnp.asarray(0.0),
+        "diff_phase": jnp.asarray(0.0),
+    }
+
     def make_batch(i):
         view = sampler.get(i)
         if view.is_front:
@@ -76,13 +86,9 @@ def main():
             "rays_o": jnp.asarray(view.rays_o.reshape(-1, 3)),
             "rays_d": jnp.asarray(view.rays_d.reshape(-1, 3)),
             "depth_scale": jnp.asarray(view.depth_scale.reshape(-1)),
-            "ref_rgba": jnp.zeros((512, 512, 4)),
-            "ref_depth": jnp.full((512, 512), 0.5),
-            "obj_mask": jnp.ones((512, 512)),
-            "is_large": jnp.asarray(0.0),
-            "diff_phase": jnp.asarray(0.0),
             "shading_mode": jnp.asarray(shading, jnp.int32),
             "ambient_ratio": jnp.asarray(ambient, jnp.float32),
+            **consts,
         }
 
     # Realistic asset occupancy: a fresh field is ~0.5% occupied and rays
