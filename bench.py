@@ -126,12 +126,45 @@ def main():
     iters_per_sec = n_steps / dt
     rays_per_sec = iters_per_sec * cfg.h * cfg.w
     target = 5000.0 / (9 * 60)  # coarse stage inside the 15-min asset budget
+
+    # --- SDS phase: novel-view step with the full-size SD 2.0 stack ---
+    # (randomly initialized towers — zero-egress environment — but the
+    # real architecture, so the FLOPs and memory traffic are honest).
+    # "SDS iters/sec" is the tracked metric in BASELINE.json.
+    sds_iters_per_sec = None
+    try:
+        from makeit3d_tpu.guidance.sd import StableDiffusionGuidance
+
+        guidance = StableDiffusionGuidance(sd_version="2.0")
+        text_z = guidance.get_text_embeds(["a teddy bear"], [""])
+        text_pooled = guidance.clip_text_embeds("a teddy bear")
+        sds_step = jax.jit(build_train_step(
+            cfg, field, optimizer, settings, guidance, is_front=False,
+            shaded=False))
+        _, batch = make_batch(1)
+        batch = {**batch, "diff_phase": jnp.asarray(1.0),
+                 "text_z": text_z, "text_z_clip": text_pooled,
+                 "gparams": guidance.params}
+        params2, opt2, metrics, _ = sds_step(params, opt_state, grid, key,
+                                             batch)
+        jax.block_until_ready(metrics["loss"])
+        n_sds = 10
+        t0 = time.time()
+        for i in range(n_sds):
+            params2, opt2, metrics, _ = sds_step(params2, opt2, grid, key,
+                                                 batch)
+        jax.block_until_ready(metrics["loss"])
+        sds_iters_per_sec = round(n_sds / (time.time() - t0), 3)
+    except Exception as e:  # never fail the bench line on the SDS phase
+        print(f"[bench] SDS phase skipped: {type(e).__name__}: {e}")
+
     print(json.dumps({
         "metric": "coarse_train_iters_per_sec",
         "value": round(iters_per_sec, 3),
         "unit": "iter/s",
         "vs_baseline": round(iters_per_sec / target, 3),
         "rays_per_sec": round(rays_per_sec, 1),
+        "sds_iters_per_sec": sds_iters_per_sec,
         "device": str(jax.devices()[0]),
     }))
 

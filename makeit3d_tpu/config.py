@@ -109,7 +109,9 @@ class Config:
     # data/codegen-dependent kernel-fault lottery, docs/TPU_NOTES.md):
     # catch the runtime fault, restore the last host snapshot, rebuild
     # the step with a fresh compile salt (new executable), and replay.
-    max_compile_rerolls: int = 3
+    # Ten rolls ~ rides out a multi-minute relay outage at 45s+1 step
+    # timeout each; a healthy stack never uses them.
+    max_compile_rerolls: int = 10
     reroll_wait_s: float = 45.0
     # watchdog deadline for one train-loop iteration (covers dispatch,
     # remote compile, and the cadence sync; a dead relay RPC otherwise
