@@ -159,6 +159,8 @@ def main(argv=None):
     # guidance (reference: main.py:146-153)
     guidance = None
     if cfg.guidance == "stable-diffusion":
+        import jax.numpy as jnp
+
         from .guidance.sd import StableDiffusionGuidance
 
         guidance = StableDiffusionGuidance(
@@ -166,6 +168,8 @@ def main(argv=None):
             weights_root=args.sd_weights or cfg.hf_key,
             step_range=cfg.step_range,
             tiny=args.tiny_guidance,
+            # --fp16 = bf16 UNet/VAE compute, the reference's AMP analogue
+            dtype=jnp.bfloat16 if cfg.fp16 else jnp.float32,
         )
     elif cfg.guidance == "clip":
         from .guidance.clip import CLIPGuidance

@@ -13,7 +13,7 @@ the MXU instead of 7 small ones.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -72,6 +72,10 @@ class HashGridField(nn.Module):
     desired_resolution: int = 2048
     fd_epsilon: float = 1e-2
     lambert_min: float = 0.1  # reference: network_tcnn.py:160 clamp(min=0.1)
+    # MLP compute dtype (bfloat16 = MXU fast path; params stay f32 via
+    # flax's param_dtype default, as does everything nonlinear:
+    # trunc_exp / sigmoid / normals run in f32)
+    dtype: Any = jnp.float32
 
     def setup(self):
         self.encoder = HashGridEncoder(
@@ -87,7 +91,8 @@ class HashGridField(nn.Module):
             lambda key: self.encoder.init_params(key),
         )
         self.sigma_net = ReluMLP(
-            dim_out=4, dim_hidden=self.hidden_dim, num_layers=self.num_layers
+            dim_out=4, dim_hidden=self.hidden_dim,
+            num_layers=self.num_layers, dtype=self.dtype,
         )
 
     def gaussian(self, x):
@@ -99,7 +104,7 @@ class HashGridField(nn.Module):
         """x: [N, 3] in [-bound, bound] -> (sigma [N], albedo [N, 3])."""
         h = (x + self.bound) / (2 * self.bound)
         h = self.encoder(self.table, h)
-        h = self.sigma_net(h)
+        h = self.sigma_net(h.astype(self.dtype)).astype(jnp.float32)
         sigma = trunc_exp(h[..., 0] + self.gaussian(x))
         albedo = jax.nn.sigmoid(h[..., 1:])
         return sigma, albedo
@@ -168,11 +173,13 @@ class VanillaField(nn.Module):
     num_layers: int = 4
     multires: int = 6
     lambert_min: float = 0.0  # reference: network.py:196 clamp(min=0)
+    dtype: Any = jnp.float32  # MLP compute dtype (see HashGridField)
 
     def setup(self):
         self.encoder = FreqEncoder(input_dim=3, multires=self.multires)
         self.sigma_net = ResMLP(
-            dim_out=4, dim_hidden=self.hidden_dim, num_layers=self.num_layers
+            dim_out=4, dim_hidden=self.hidden_dim,
+            num_layers=self.num_layers, dtype=self.dtype,
         )
 
     def gaussian(self, x):
@@ -183,7 +190,7 @@ class VanillaField(nn.Module):
 
     def common(self, x):
         h = self.encoder(x, bound=self.bound)
-        h = self.sigma_net(h)
+        h = self.sigma_net(h.astype(self.dtype)).astype(jnp.float32)
         sigma = trunc_exp(h[..., 0] + self.gaussian(x))
         albedo = jax.nn.sigmoid(h[..., 1:])
         return sigma, albedo
@@ -411,7 +418,15 @@ def sigma_albedo_normal_chunked(field, variables, x, chunk: int = 1 << 17):
 
 
 def make_field(cfg) -> nn.Module:
-    """Backbone factory (reference: main.py:101-106)."""
+    """Backbone factory (reference: main.py:101-106).
+
+    --fp16 / compute_dtype=bfloat16 selects bf16 MLP compute (params and
+    all nonlinear math stay f32) — the reference's AMP autocast analogue
+    (utils.py:309) mapped to the MXU fast path.
+    """
+    dtype = jnp.float32
+    if cfg.fp16 or cfg.compute_dtype == "bfloat16":
+        dtype = jnp.bfloat16
     if cfg.backbone in ("hashgrid", "tcnn", "grid"):
         return HashGridField(
             bound=cfg.bound,
@@ -422,11 +437,13 @@ def make_field(cfg) -> nn.Module:
             log2_hashmap_size=cfg.log2_hashmap_size,
             base_resolution=cfg.base_resolution,
             desired_resolution=cfg.desired_resolution,
+            dtype=dtype,
         )
     if cfg.backbone == "vanilla":
         return VanillaField(
             bound=cfg.bound,
             blob_density=cfg.blob_density,
             blob_radius=cfg.blob_radius,
+            dtype=dtype,
         )
     raise NotImplementedError(f"backbone {cfg.backbone}")

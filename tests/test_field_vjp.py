@@ -135,3 +135,27 @@ def test_unshaded_matches_albedo_shading(setup):
     v2, g2 = jax.value_and_grad(loss_albedo)(params)
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
     _assert_tree_close(g1, g2)
+
+
+def test_bf16_field_close_to_f32():
+    """--fp16 (bf16 MLP compute) must track the f32 field loosely: same
+    params (f32), outputs within bf16 tolerance."""
+    from makeit3d_tpu.models.field import make_field
+
+    cfg32 = Config(guidance="none", hash_levels=4, log2_hashmap_size=12)
+    cfg16 = cfg32.replace(fp16=True)
+    f32 = make_field(cfg32)
+    f16 = make_field(cfg16)
+    key = jax.random.PRNGKey(0)
+    params = f32.init(key, jnp.zeros((8, 3)), jnp.zeros((8, 3)))
+    # params are f32 in both (param_dtype default); reuse across fields
+    x = jax.random.uniform(jax.random.PRNGKey(1), (256, 3), minval=-1,
+                           maxval=1)
+    d32 = f32.apply(params, x, method="density")
+    d16 = f16.apply(params, x, method="density")
+    assert d16["sigma"].dtype == jnp.float32  # output cast back
+    np.testing.assert_allclose(
+        np.asarray(d16["albedo"]), np.asarray(d32["albedo"]), atol=0.03
+    )
+    s32, s16 = np.asarray(d32["sigma"]), np.asarray(d16["sigma"])
+    np.testing.assert_allclose(s16, s32, rtol=0.1, atol=0.05)
