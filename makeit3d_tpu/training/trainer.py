@@ -393,9 +393,22 @@ class Trainer:
                 profiling = False
                 self.ws.log(f"[INFO] profiler trace -> {cfg.profile_dir}")
             if epoch % cfg.eval_interval == 0:
-                if valid_sampler is not None:
-                    self.evaluate(valid_sampler)
+                # checkpoint FIRST: a hung validation render (dead relay
+                # RPC) must not cost the training state
                 self.save_checkpoint()
+                if valid_sampler is not None:
+                    try:
+                        watchdog.call_with_timeout(
+                            lambda: self.evaluate(valid_sampler),
+                            cfg.step_timeout_s * 2)
+                    except (jax.errors.JaxRuntimeError,
+                            watchdog.DeviceHangError) as e:
+                        # eval is observability, not training state:
+                        # log and march on
+                        self.ws.log(
+                            f"[WARN] validation render failed "
+                            f"({type(e).__name__}); continuing training."
+                        )
         self.ws.log(
             f"[INFO] training takes {(time.time() - start) / 60:.4f} minutes."
         )
