@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import sys
 import random
 
 import numpy as np
@@ -129,7 +128,6 @@ def caption_image(image_path: str, blip_weights=None) -> str:
             "--text is required when no local BLIP-2 weights are available "
             "(zero-egress environment; pass --blip_weights or --text)"
         )
-    import torch
     from PIL import Image
     from transformers import Blip2ForConditionalGeneration, Blip2Processor
 

@@ -14,7 +14,6 @@ All functions are shape-static and jit/vmap/grad friendly.
 from __future__ import annotations
 
 import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

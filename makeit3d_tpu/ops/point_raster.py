@@ -27,7 +27,6 @@ alpha(dist) follows the reference exactly:
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple, Optional
 
 import jax

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import List, Tuple
 
 import numpy as np
 

@@ -17,8 +17,7 @@ from __future__ import annotations
 
 import math
 import os
-from functools import partial
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -36,7 +36,6 @@ from ..models.renderer import (
     RenderSettings,
     march_stage,
     render_occupancy,
-    render_pure,
 )
 from ..ops.grid import DensityGrid, init_density_grid, update_density_grid
 from ..utils import watchdog
