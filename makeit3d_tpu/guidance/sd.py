@@ -343,3 +343,40 @@ class StableDiffusionGuidance:
             guidance_scale=guidance_scale,
         )
         return np.asarray(self.decode_latents(latents))
+
+
+if __name__ == "__main__":
+    # standalone guidance smoke bench (reference: nerf/sd.py:241-268):
+    #   python -m makeit3d_tpu.guidance.sd "a photo of a corgi" --seeds 1
+    import argparse
+
+    from ..utils.workspace import save_image_u8
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("prompt", type=str)
+    parser.add_argument("--negative", default="", type=str)
+    parser.add_argument("--workspace", default="", type=str)
+    parser.add_argument("--sd_version", type=str, default="2.0",
+                        choices=["1.5", "2.0"])
+    parser.add_argument("--seeds", type=int, default=1)
+    parser.add_argument("--steps", type=int, default=50)
+    parser.add_argument("--sd_weights", type=str, default=None,
+                        help="local diffusers-layout weight dir")
+    parser.add_argument("--tiny", action="store_true",
+                        help="miniature random towers (smoke)")
+    opt = parser.parse_args()
+
+    outdir = os.path.join("test_bench", opt.workspace)
+    os.makedirs(outdir, exist_ok=True)
+
+    sd = StableDiffusionGuidance(sd_version=opt.sd_version,
+                                 weights_root=opt.sd_weights, tiny=opt.tiny)
+    for seed in range(opt.seeds):
+        imgs = sd.prompt_to_img(opt.prompt, opt.negative,
+                                num_inference_steps=opt.steps, seed=seed)
+        save_image_u8(
+            os.path.join(outdir,
+                         opt.prompt.replace(" ", "_") + f"_{seed}.png"),
+            imgs[0],
+        )
+        print(f"seed {seed} -> {outdir}")
