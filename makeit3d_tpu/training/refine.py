@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import math
 import os
+import time
 from typing import Optional
 
 import jax
@@ -246,7 +247,15 @@ class RefineStage:
         gt_rgb_j = jnp.asarray(gt_rgb, jnp.float32)
         gt_mask_j = jnp.asarray(gt_mask, jnp.float32)
 
-        for i in range(train_iters):
+        # elastic recovery, same scheme as the coarse Trainer (worker
+        # faults / dead RPCs through the axon relay, docs/TPU_NOTES.md):
+        # host snapshot every 500 iters (refine state is only a few MB),
+        # watchdog-bounded iterations, restore + retry on fault.
+        snapshot = {"params": jax.tree.map(np.asarray, params),
+                    "opt_state": jax.tree.map(np.asarray, opt_state),
+                    "i": 0}
+
+        def body(i, params, opt_state):
             _, _, poses, is_front, _ = fix_poses(
                 1, i, self.host_rng,
                 radius_range=cfg.radius_range,
@@ -265,10 +274,44 @@ class RefineStage:
                               np.asarray(pred))
                 parts = " ".join(f"{k2}={float(v):.4f}"
                                  for k2, v in sorted(metrics.items()))
-                print(f"[refine {i}] {parts}")
+                print(f"[refine {i}] {parts}", flush=True)
             if i % 1000 == 0 or i == train_iters - 1:
                 self._save_ckpt(outdir, i if i < train_iters - 1 else "end",
                                 params)
+            return params, opt_state
+
+        import jax.errors as jerr
+
+        from ..utils import watchdog
+
+        i, rolls = 0, 0
+        while i < train_iters:
+            try:
+                if i % 500 == 0:
+                    snapshot = {
+                        "params": jax.tree.map(np.asarray, params),
+                        "opt_state": jax.tree.map(np.asarray, opt_state),
+                        "i": i,
+                    }
+                params, opt_state = watchdog.call_with_timeout(
+                    lambda: body(i, params, opt_state),
+                    cfg.step_timeout_s)
+                i += 1
+            except (jerr.JaxRuntimeError, watchdog.DeviceHangError) as e:
+                rolls += 1
+                if rolls > cfg.max_compile_rerolls:
+                    raise
+                print(f"[refine] worker fault at iter {i} "
+                      f"({type(e).__name__}); restoring iter "
+                      f"{snapshot['i']} and retrying", flush=True)
+                time.sleep(cfg.reroll_wait_s)
+                params = jax.tree.map(jnp.asarray, snapshot["params"])
+                opt_state = jax.tree.map(jnp.asarray, snapshot["opt_state"])
+                i = snapshot["i"]
+                step_front, fwd = self.build_step(optimizer, True, H, W,
+                                                  cfg.fov)
+                step_novel, _ = self.build_step(optimizer, False, H, W,
+                                                cfg.fov)
 
         # final orbit rendering through the neural renderer
         # (reference: utils.py:912-944)
