@@ -32,8 +32,18 @@ SHADING_NORMAL = 3
 
 
 def safe_normalize(x: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:
-    n2 = jnp.clip(jnp.sum(x * x, axis=-1, keepdims=True), eps, 1e32)
-    return x / jnp.sqrt(n2)
+    """Unit-normalize with overflow-proof scaling.
+
+    Max-abs pre-scaling keeps the sum-of-squares in [0, 3] for ANY input
+    magnitude. The previous sum-sq upper clip (1e32) silently produced
+    1e7-magnitude "normals" once finite-difference sigma deltas reached
+    ~1e23 (an exploded no-guidance field), which blew loss_orient up to
+    1e17. Zero vectors map to zero.
+    """
+    m = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    xs = x / jnp.maximum(m, eps)
+    n2 = jnp.sum(xs * xs, axis=-1, keepdims=True)
+    return xs / jnp.sqrt(jnp.maximum(n2, eps))
 
 
 def _shade(albedo, normal, light_d, ratio, shading_mode, lambert_min: float):

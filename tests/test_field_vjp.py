@@ -159,3 +159,31 @@ def test_bf16_field_close_to_f32():
     )
     s32, s16 = np.asarray(d32["sigma"]), np.asarray(d16["sigma"])
     np.testing.assert_allclose(s16, s32, rtol=0.1, atol=0.05)
+
+
+def test_safe_normalize_extreme_magnitudes():
+    """Normals must stay unit (or zero) for any FD-delta magnitude —
+    an exploded field (sigma ~ 1e23) used to produce 1e7-magnitude
+    "normals" through the old sum-sq clip."""
+    from makeit3d_tpu.models.field import safe_normalize
+
+    x = jnp.asarray([
+        [1e23, -2e23, 0.5e23],
+        [1e-18, 2e-18, -1e-18],
+        [0.0, 0.0, 0.0],
+        [1.0, 2.0, -2.0],
+        [np.inf, 1.0, 0.0],
+    ])
+    n = np.asarray(safe_normalize(x))
+    norms = np.linalg.norm(np.nan_to_num(n), axis=-1)
+    assert abs(norms[0] - 1.0) < 1e-5
+    assert abs(norms[1] - 1.0) < 1e-5
+    assert norms[2] == 0.0
+    assert abs(norms[3] - 1.0) < 1e-5
+    # inf rows become NaN and are cleaned by the callers' nan_to_num
+    assert norms[4] <= 1.0 + 1e-5
+
+    # gradient stays finite at normal magnitudes
+    g = jax.grad(lambda v: jnp.sum(safe_normalize(v)))(
+        jnp.asarray([[0.3, -0.4, 0.5]]))
+    assert np.all(np.isfinite(np.asarray(g)))
