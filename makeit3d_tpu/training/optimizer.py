@@ -140,15 +140,20 @@ def make_optimizer(cfg, schedule: Optional[Schedule] = None) -> optax.GradientTr
     lr_scale = lambda path: 10.0 if _path_contains(path, "hash_table") else 1.0
     if cfg.optim == "adan":
         lr = schedule if schedule is not None else 5 * cfg.lr
-        return adan(
+        opt = adan(
             learning_rate=lr,
             eps=1e-8,
             weight_decay=2e-5,
             max_grad_norm=5.0,
             lr_scale_fn=lr_scale,
         )
-    lr = schedule if schedule is not None else cfg.lr
-    return optax.adam(lr, b1=0.9, b2=0.99, eps=1e-15)
+    else:
+        lr = schedule if schedule is not None else cfg.lr
+        opt = optax.adam(lr, b1=0.9, b2=0.99, eps=1e-15)
+    # Skip non-finite steps instead of poisoning params — the functional
+    # equivalent of the reference's AMP GradScaler behavior
+    # (nerf/utils.py:309,983-986: scaler.step skips on inf/nan grads).
+    return optax.apply_if_finite(opt, max_consecutive_errors=10000)
 
 
 def make_lr_schedule(cfg) -> Callable[[jnp.ndarray], jnp.ndarray]:

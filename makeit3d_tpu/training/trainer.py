@@ -728,9 +728,33 @@ class Trainer:
         self.ws.log(f"[INFO] saved checkpoint {path}")
 
     def load_checkpoint(self, path: str):
-        state = load_checkpoint(path, self._ckpt_state())
+        """Tolerant per-part load (reference: utils.py:1124-1186 wraps
+        optimizer/scheduler/scaler restores in try/except): an optimizer
+        state whose structure changed across versions must not brick the
+        model weights."""
+        try:
+            state = load_checkpoint(path, self._ckpt_state())
+            self.opt_state = state["opt_state"]
+        except Exception:
+            from flax import serialization
+
+            with open(path, "rb") as f:
+                raw = serialization.msgpack_restore(f.read())
+            tmpl = self._ckpt_state()
+            state = {
+                "params": serialization.from_state_dict(
+                    tmpl["params"], raw["params"]),
+                "grid": serialization.from_state_dict(
+                    tmpl["grid"], raw["grid"]),
+                "epoch": raw["epoch"],
+                "global_step": raw["global_step"],
+            }
+            self.ws.log(
+                "[WARN] checkpoint optimizer state incompatible; "
+                "optimizer reinitialized (model weights loaded)."
+            )
+            self.opt_state = self.optimizer.init(state["params"])
         self.params = state["params"]
-        self.opt_state = state["opt_state"]
         self.grid = DensityGrid(*state["grid"])
         self.epoch = int(state["epoch"])
         self.global_step = int(state["global_step"])

@@ -89,3 +89,26 @@ def test_fault_exhausts_rerolls(tiny_cfg):
     rebreak()
     with pytest.raises(jax.errors.JaxRuntimeError):
         tr.train_one_epoch(sampler)
+
+
+def test_checkpoint_tolerant_optimizer_mismatch(tiny_cfg):
+    """A checkpoint saved with a different optimizer-state structure must
+    still restore model weights (reference: utils.py:1124-1186 tolerant
+    per-part load)."""
+    cfg_adam = tiny_cfg.replace(optim="adam")
+    tr = Trainer(cfg_adam, workspace=cfg_adam.workspace,
+                 use_checkpoint="scratch")
+    sampler = ViewSampler(cfg_adam, type="train", H=cfg_adam.h,
+                          W=cfg_adam.w, size=4, seed=0)
+    tr.train_one_epoch(sampler)
+    tr.save_checkpoint("mismatch_test")
+
+    cfg_adan = tiny_cfg.replace(optim="adan")
+    tr2 = Trainer(cfg_adan, workspace=cfg_adan.workspace,
+                  use_checkpoint="latest")
+    assert tr2.global_step == tr.global_step
+    p1 = np.concatenate([np.ravel(np.asarray(x))
+                         for x in jax.tree.leaves(tr.params)])
+    p2 = np.concatenate([np.ravel(np.asarray(x))
+                         for x in jax.tree.leaves(tr2.params)])
+    np.testing.assert_allclose(p1, p2)
