@@ -100,6 +100,11 @@ def edge_culled_mask(depth: np.ndarray, mask: np.ndarray,
     kernel = np.ones((11, 11), np.uint8)
     m = cv2.erode(mask.astype(np.float64), kernel, iterations=erode_iters)
     m = m == 1
+    # NOTE: np.uint8(depth*255) wraps modulo 256 for metric depth > ~1.0,
+    # adding sawtooth rings to the Canny input. This reproduces the
+    # reference EXACTLY (refine_utils.py:352-353 does the same cast on
+    # metric depth); the 11x11 dilation makes the over-culling mild and
+    # the published results absorbed it, so we keep parity.
     blur = np.uint8(depth * m * 255.0)
     edges = cv2.Canny(blur, canny_lo, canny_hi)
     edges = cv2.dilate(edges, kernel, iterations=1) == 255
@@ -196,8 +201,6 @@ def build_point_cloud(load_dir: str, gt_rgb: np.ndarray, H: int, W: int,
     cano_c2w = poses[ind]
 
     d = cv2.resize(depths[ind], (W, H))
-    m = cv2.resize(masks[ind], (W, H))
-    m = edge_culled_mask(d, m, 30, 30, erode_iters=2)
     # the reference keeps the eroded mask without the edge cut for the
     # canonical view (refine_utils.py:360 is commented out upstream);
     # follow that

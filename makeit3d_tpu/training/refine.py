@@ -114,7 +114,10 @@ class RefineStage:
 
     # ------------------------------------------------------------------
     def build_step(self, optimizer, is_front: bool, H: int, W: int,
-                   fov: float):
+                   fov: float, salt: int = 0):
+        """`salt` scales the loss by (1 + 1e-6*salt) so re-rolled
+        compilations after a worker fault produce a distinct executable
+        (the v5e codegen lottery, docs/TPU_NOTES.md)."""
         cfg = self.cfg
         guidance = self.guidance
         unet = self.unet
@@ -183,6 +186,8 @@ class RefineStage:
                 + jnp.mean((params["colors_cano"] - anchors["colors_cano"]) ** 2) * 1e5
             )
             loss = main + bg_loss + reg
+            if salt:
+                loss = loss * (1.0 + 1e-6 * salt)
             metrics.update(loss=loss, bg_loss=bg_loss, reg_loss=reg)
             return loss, (metrics, pred)
 
@@ -309,9 +314,9 @@ class RefineStage:
                 opt_state = jax.tree.map(jnp.asarray, snapshot["opt_state"])
                 i = snapshot["i"]
                 step_front, fwd = self.build_step(optimizer, True, H, W,
-                                                  cfg.fov)
+                                                  cfg.fov, salt=rolls)
                 step_novel, _ = self.build_step(optimizer, False, H, W,
-                                                cfg.fov)
+                                                cfg.fov, salt=rolls)
 
         # final orbit rendering through the neural renderer
         # (reference: utils.py:912-944)

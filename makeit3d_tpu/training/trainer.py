@@ -175,9 +175,12 @@ def build_train_step(cfg, field, optimizer, settings, guidance,
                      is_front: bool, salt: int = 0, shaded: bool = True):
     """loss -> grad -> Adan update, as one jittable pure function.
 
-    `salt` perturbs one literal by a relatively-negligible 1e-12*salt so
-    re-rolled compilations produce a distinct executable (the v5e fault
-    is a per-executable codegen lottery; see docs/TPU_NOTES.md).
+    `salt` perturbs one literal by 1e-6*salt so re-rolled compilations
+    produce a distinct executable (the v5e fault is a per-executable
+    codegen lottery; see docs/TPU_NOTES.md). The magnitude must survive
+    float32 rounding — 1e-12 folds to exactly 1.0 and every re-roll then
+    replays the same binary; 1e-6 is ~8 ulp at 1.0 and scales the loss
+    (hence every gradient, uniformly) by a negligible factor.
     """
     loss_fn = build_loss_fn(cfg, field, settings, guidance, is_front,
                             shaded=shaded)
@@ -186,7 +189,7 @@ def build_train_step(cfg, field, optimizer, settings, guidance,
         def salted(p):
             loss, (metrics, aux) = loss_fn(p, grid, key, batch, marched)
             if salt:
-                loss = loss * (1.0 + 1e-12 * salt)
+                loss = loss * (1.0 + 1e-6 * salt)
             return loss, (metrics, aux)
 
         gfn = jax.value_and_grad(salted, has_aux=True)
@@ -274,6 +277,9 @@ class Trainer:
         self._host_rng = np.random.default_rng(seed)
         self._compile_salt = 0   # bumped per re-roll (see step())
         self._host_snapshot = None
+        # bumped on every snapshot restore; step() discards results
+        # computed against an older generation (zombie watchdog threads)
+        self._state_gen = 0
 
         # text conditioning (reference: utils.py:370-401)
         self.text_z = None
@@ -436,14 +442,6 @@ class Trainer:
             # logging cadence and let the steps in between pipeline.
             # Cadence 9 (coprime to the every-4th-front view schedule)
             # so front-step metrics (loss_img/loss_depth) surface too.
-            if self.global_step % 9 == 0:
-                loss = float(metrics["loss"])
-                self.ws.scalar("train/loss", loss, self.global_step)
-                parts = " ".join(
-                    f"{k}={float(v):.4f}" for k, v in sorted(metrics.items())
-                )
-                self.ws.log(f"step {self.global_step}: {parts}")
-                return loss
             if self.global_step % 100 == 0 or self.global_step == 1:
                 save_image_u8(
                     os.path.join(self.ws.train_dir, f"{self.global_step}.png"),
@@ -453,6 +451,14 @@ class Trainer:
                     os.path.join(self.ws.train_dir, f"{self.global_step}_gt.png"),
                     np.asarray(aux["gt_rgb"]),
                 )
+            if self.global_step % 9 == 0:
+                loss = float(metrics["loss"])
+                self.ws.scalar("train/loss", loss, self.global_step)
+                parts = " ".join(
+                    f"{k}={float(v):.4f}" for k, v in sorted(metrics.items())
+                )
+                self.ws.log(f"step {self.global_step}: {parts}")
+                return loss
             return None
 
         rolls = 0
@@ -471,9 +477,14 @@ class Trainer:
             except (jax.errors.JaxRuntimeError,
                     watchdog.DeviceHangError) as e:
                 rolls += 1
+                gs_at_fault = self.global_step
                 if (rolls > cfg.max_compile_rerolls
                         or not self._recover_from_fault(e)):
                     raise
+                # replay the rolled-back steps: restore rewinds
+                # global_step to the snapshot, so rewind the view index
+                # by the same distance (clamped to this epoch's start)
+                i = max(0, i - (gs_at_fault - self.global_step))
         self.stats["loss"].append(total_loss / max(n, 1))
         self.ws.log(f"==> Finished Epoch {self.epoch}.")
 
@@ -509,6 +520,8 @@ class Trainer:
         time.sleep(cfg.reroll_wait_s)
         snap = self._host_snapshot
 
+        self._state_gen += 1  # invalidate any in-flight zombie step
+
         def restore():
             self.params = jax.tree.map(jnp.asarray, snap["params"])
             self.opt_state = jax.tree.map(jnp.asarray, snap["opt_state"])
@@ -531,10 +544,17 @@ class Trainer:
     def step(self, view) -> tuple:
         """One optimization step from a sampled ViewBatch. Worker-fault
         recovery wraps the epoch loop (train_one_epoch), which is where
-        device scalars are read back."""
+        device scalars are read back.
+
+        Commit discipline: a watchdog-abandoned zombie thread may still be
+        executing an older step() when recovery restores a snapshot. All
+        writes to shared trainer state happen at the END of this method,
+        gated on the state generation (`self._state_gen`) being unchanged
+        since entry — a stale thread's results are discarded instead of
+        overwriting the restored lineage."""
         cfg = self.cfg
-        self.global_step += 1
-        gs = self.global_step
+        gen = self._state_gen
+        gs = self.global_step + 1
 
         # shading schedule (reference: utils.py:470-483)
         if gs < cfg.albedo_iters or view.is_front:
@@ -568,16 +588,22 @@ class Trainer:
             batch["text_z_clip"] = self._clip_text_cache[text_idx]
             batch["gparams"] = self.guidance.params
 
-        self.key, k = jax.random.split(self.key)
-        self.params, self.opt_state, metrics, aux = self._train_step[
+        key, k = jax.random.split(self.key)
+        params, opt_state, metrics, aux = self._train_step[
             (view.is_front, shading != SHADING_ALBEDO)
         ](self.params, self.opt_state, self.grid, k, batch)
-        # Surface worker faults inside the re-roll guard, but only at the
-        # snapshot cadence — blocking every step through the axon relay
-        # costs ~6x throughput (the reference syncs per step via
-        # loss.item(), utils.py:991; we deliberately do not).
+        # Surface worker faults inside the re-roll guard at the grid
+        # cadence — blocking every step through the axon relay costs ~6x
+        # throughput (the reference syncs per step via loss.item(),
+        # utils.py:991; we deliberately do not).
         if gs % cfg.update_extra_interval == 0:
             jax.block_until_ready(metrics["loss"])
+        if gen != self._state_gen:
+            raise watchdog.DeviceHangError(
+                "stale step discarded (state restored mid-flight)")
+        self.key = key
+        self.params, self.opt_state = params, opt_state
+        self.global_step = gs
         return metrics, aux
 
     # ------------------------------------------------------------------
@@ -643,7 +669,7 @@ class Trainer:
         save_path = save_path or self.ws.result_dir
         os.makedirs(save_path, exist_ok=True)
         name = name or f"{self.name}_ep{self.epoch:04d}"
-        all_rgb, all_normal, all_depth, all_poses = [], [], [], []
+        all_rgb, all_normal, all_poses = [], [], []
         for i in range(sampler.size):
             view = sampler.get(i)
             res = self.render_image(view, bg_color=1.0)
@@ -652,7 +678,6 @@ class Trainer:
             normal = (np.clip(res.get("normal", res["image"]), 0, 1) * 255).astype(np.uint8)
             all_rgb.append(rgb)
             all_normal.append(normal)
-            all_depth.append((np.clip(res["depth"], 0, 1) * 255).astype(np.uint8))
             all_poses.append(view.poses[0])
             if write_image:
                 import cv2
@@ -692,7 +717,6 @@ class Trainer:
             for h in range(0, len(pts), chunk):
                 t = min(h + chunk, len(pts))
                 x = jnp.asarray(pts[h:t])
-                pad = 0
                 s, _ = density_j(self.params, x)
                 out[h:t] = np.asarray(s)
             return out
