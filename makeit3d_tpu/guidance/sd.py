@@ -124,7 +124,11 @@ class StableDiffusionGuidance:
                 if os.path.exists(p):
                     tok_path = p
                     break
-        self.tokenizer = CLIPTokenizer(tok_path)
+        # SD1.5's CLIP tokenizer pads with EOT; SD2/OpenCLIP pads with 0
+        self.tokenizer = CLIPTokenizer(
+            tok_path,
+            pad_token_id=CLIPTokenizer.EOT if sd_version == "1.5" else 0,
+        )
 
         self.latent_factor = 2 if tiny else 8
         latent_hw = self.image_size // self.latent_factor

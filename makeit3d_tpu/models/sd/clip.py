@@ -73,7 +73,10 @@ class CLIPMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         h = nn.Dense(self.width * 4, name="fc1")(x)
-        h = quick_gelu(h) if self.act == "quick_gelu" else nn.gelu(h)
+        # exact erf GELU: torch F.gelu default, used by OpenCLIP / the
+        # SD2 text encoder (flax's default approximate=True is tanh)
+        h = quick_gelu(h) if self.act == "quick_gelu" else nn.gelu(
+            h, approximate=False)
         return nn.Dense(self.width, name="fc2")(h)
 
 

@@ -135,7 +135,8 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.inner_dim * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        return h * nn.gelu(gate)
+        # diffusers GEGLU uses torch F.gelu (exact erf), not tanh
+        return h * nn.gelu(gate, approximate=False)
 
 
 class FeedForward(nn.Module):

@@ -61,15 +61,28 @@ class CLIPTokenizer:
     SOT = 49406
     EOT = 49407
 
-    def __init__(self, bpe_path: Optional[str] = None, context_length: int = 77):
+    def __init__(self, bpe_path: Optional[str] = None, context_length: int = 77,
+                 pad_token_id: int = 0):
+        """pad_token_id: 0 ('!') for SD2/OpenCLIP, EOT (49407) for the
+        SD1.5 CLIP tokenizer (diffusers pads with EOT there)."""
         self.context_length = context_length
+        self.pad_token_id = pad_token_id
         self.byte_encoder = bytes_to_unicode()
-        self.pat = re.compile(
-            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
-            if False
-            else r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
-            re.IGNORECASE,
-        )
+        # CLIP's pre-tokenizer uses unicode letter/number classes; the
+        # `regex` module supports \p{L}/\p{N}. ASCII classes are only a
+        # degraded fallback (non-Latin text would tokenize differently).
+        try:
+            import regex as _regex
+
+            self.pat = _regex.compile(
+                r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+                _regex.IGNORECASE,
+            )
+        except ImportError:  # pragma: no cover
+            self.pat = re.compile(
+                r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
+                re.IGNORECASE,
+            )
         self.bpe_ranks = None
         self.encoder = None
         if bpe_path and os.path.exists(bpe_path):
@@ -130,7 +143,7 @@ class CLIPTokenizer:
     def encode(self, text: str) -> List[int]:
         text = whitespace_clean(basic_clean(text)).lower()
         ids: List[int] = []
-        for token in re.findall(self.pat, text):
+        for token in self.pat.findall(text):
             if self.encoder is not None:
                 tok = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
                 ids.extend(self.encoder[t] for t in self._bpe(tok).split(" "))
@@ -146,7 +159,8 @@ class CLIPTokenizer:
     def __call__(self, texts, truncate: bool = True) -> np.ndarray:
         if isinstance(texts, str):
             texts = [texts]
-        out = np.zeros((len(texts), self.context_length), np.int64)
+        out = np.full((len(texts), self.context_length), self.pad_token_id,
+                      np.int64)
         for i, t in enumerate(texts):
             ids = [self.SOT] + self.encode(t) + [self.EOT]
             if len(ids) > self.context_length:

@@ -53,8 +53,6 @@ def _merge_numeric(segments):
 
 # torch key prefixes stripped before mapping (wrapper module names)
 _STRIP_PREFIXES = ("text_model.", "vision_model.", "model.", "module.")
-# segments dropped entirely (flax flattens these wrappers)
-_DROP_SEGMENTS = {"encoder_layers": "layers", "embeddings": None, "encoder": None}
 
 
 def port_torch_to_flax(
@@ -89,22 +87,21 @@ def port_torch_to_flax(
         leaf_name = segs[-1]
         segs = _merge_numeric(segs[:-1])
 
-        candidates = []
         if leaf_name == "weight":
-            candidates = [("kernel",), ("scale",), ("embedding",)]
+            # last resort (): modules storing the tensor as a plain
+            # param named by the parent segment, e.g. transformers CLIP
+            # "position_embedding.weight" -> flax (...,"position_embedding")
+            candidates = [("kernel",), ("scale",), ("embedding",), ()]
         elif leaf_name == "bias":
             candidates = [("bias",)]
-        else:  # e.g. position_embedding saved as a plain parameter
+        else:  # plain parameters keep their own name
             candidates = [(leaf_name,), ()]
 
         hit = None
         for cand in candidates:
-            for prefix in (tuple(segs), tuple(segs[:-1]) + (segs[-1],) if segs else ()):
-                k = tuple(segs) + cand if cand else tuple(segs)
-                if k in flax_index:
-                    hit = k
-                    break
-            if hit:
+            k = tuple(segs) + cand
+            if k in flax_index:
+                hit = k
                 break
         if hit is None:
             missed.append(tkey)
@@ -117,8 +114,6 @@ def port_torch_to_flax(
                 v = v.transpose(2, 3, 1, 0)  # OIHW -> HWIO
             elif v.ndim == 2:
                 v = v.T
-        if hit[-1] == "embedding" and v.ndim != np.ndim(target):
-            pass
         if v.shape != target.shape:
             # position embeddings stored [1, N, C] vs [N, C], etc.
             if v.squeeze().shape == tuple(target.shape):

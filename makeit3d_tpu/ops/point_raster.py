@@ -98,6 +98,12 @@ def render_points(
 
     behind = z <= 1e-6
     # --- bin points into tiles (up to 4 tiles per point) ---
+    # corner-only binning covers every overlapped tile ONLY while the
+    # splat's bounding square spans <= 2 tiles per axis
+    assert radius_px <= TILE / 2, (
+        f"radius_px {radius_px} > TILE/2 ({TILE // 2}): corner binning "
+        "would skip interior tiles; raise TILE or shrink the splat"
+    )
     r = radius_px
     corners = jnp.asarray(
         [[-r, -r], [r, -r], [-r, r], [r, r]], jnp.float32
