@@ -30,7 +30,13 @@ def safe_normalize(x: np.ndarray, eps: float = 1e-20) -> np.ndarray:
 def view_direction(thetas, phis, overhead_rad: float, front_rad: float) -> np.ndarray:
     """Bucket (theta, phi) into {front, side, back, side, top, bottom}.
 
-    reference: nerf/provider.py:52-69.
+    reference: nerf/provider.py:52-69 — including its convention quirk:
+    this labels phi ~ 0 as bucket 0 ('front') although the training
+    schedule's reference view sits at phi = 180 (fix_poses) and phi ~ 0
+    is the is_large 'back' view. The reference inherited the bucketing
+    from stable-dreamfusion and never uses it on the training path; it
+    only feeds the (optional, off-path) directional text prompts, so we
+    reproduce it verbatim.
     """
     thetas = np.atleast_1d(np.asarray(thetas))
     phis = np.atleast_1d(np.asarray(phis))
@@ -236,9 +242,12 @@ def get_rays(
 
 
 def intrinsics_from_fov(fov_deg: float, H: int, W: int) -> np.ndarray:
-    # reference: nerf/provider.py:294-295
+    """(fx, fy, cx, cy). cx pairs with the x/width pixel index in
+    get_rays, so cx = W/2 — NOTE the reference swaps these
+    (provider.py:261-262 sets cx=H/2, cy=W/2), a latent bug that only
+    manifests for non-square renders; every shipped config is square."""
     focal = H / (2 * math.tan(math.radians(fov_deg) / 2))
-    return np.array([focal, focal, H / 2, W / 2], dtype=np.float32)
+    return np.array([focal, focal, W / 2, H / 2], dtype=np.float32)
 
 
 @dataclasses.dataclass
@@ -290,9 +299,13 @@ class ViewSampler:
         elif self.gen_mv:
             # 3 theta rings x (size//3) phi sweeps (reference: provider.py:276-286)
             theta_list = [80.0, 90.0, 100.0]
-            length = self.size // 3
-            ring = int(index // length)
-            phi = ((index % length) / (length - 1)) * (cfg.phi_range[0] - cfg.phi_range[1]) + cfg.phi_range[1]
+            length = max(self.size // 3, 1)
+            # clamp: for size % 3 != 0 the tail indices stay on the last
+            # ring (the reference only ever uses size=33; this keeps any
+            # size valid instead of IndexError/ZeroDivisionError)
+            ring = min(int(index // length), len(theta_list) - 1)
+            frac = (index % length) / max(length - 1, 1)
+            phi = frac * (cfg.phi_range[0] - cfg.phi_range[1]) + cfg.phi_range[1]
             thetas, phis, poses = circle_poses(radius=1.0, theta=theta_list[ring], phi=phi)
             is_front, is_large, fov = False, False, cfg.fov
         else:

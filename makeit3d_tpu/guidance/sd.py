@@ -311,10 +311,10 @@ class StableDiffusionGuidance:
                         latents=None, gparams=None):
         """Full text-to-image DDIM sampler (reference: sd.py:176-199)."""
         gparams = gparams if gparams is not None else self.params
-        size = height or self.image_size
-        hw = size // self.latent_factor
+        lh = (height or self.image_size) // self.latent_factor
+        lw = (width or self.image_size) // self.latent_factor
         if latents is None:
-            latents = jax.random.normal(key, (1, hw, hw, 4))
+            latents = jax.random.normal(key, (1, lh, lw, 4))
         ts = self.scheduler.timesteps(num_inference_steps)
 
         def body(lat, t):

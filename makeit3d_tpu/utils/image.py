@@ -50,10 +50,13 @@ def erode_mask(alpha: np.ndarray, ksize: int = 5, iterations: int = 1):
 def normalize_depth(
     disparity: np.ndarray, bg_mask: np.ndarray, median_size: int = 5
 ) -> np.ndarray:
-    """Disparity -> normalized depth in [0.1, 1.0] on the object,
-    1.0-ish background. reference: main.py:205-214 (including the
-    median filter; the reference's 16-bit PNG round-trip is replaced by
-    direct normalization to [0, 1])."""
+    """Disparity -> normalized depth in [0.1, 1.0] on the object;
+    background pixels are forced to depth 1.0 pre-normalization and thus
+    map to 0.1 (the reference's exact formula, main.py:212-214 — only
+    the object-masked Pearson loss ever consumes this, so the
+    bg-looks-nearest quirk is inert). The reference's 16-bit PNG
+    round-trip is replaced by direct normalization; the median filter is
+    kept."""
     from scipy.ndimage import median_filter
 
     disp = np.asarray(disparity, np.float64)

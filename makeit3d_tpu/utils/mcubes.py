@@ -100,17 +100,33 @@ def _marching_tets_numpy(grid: np.ndarray, iso: float):
     nx, ny, nz = grid.shape
     tri_ipts = []   # [M, 3] inside centroid for orientation
 
-    # process cubes in z-slabs to bound memory
-    xs, ys, zs = np.meshgrid(
-        np.arange(nx - 1), np.arange(ny - 1), np.arange(nz - 1), indexing="ij"
-    )
-    base = np.stack([xs, ys, zs], axis=-1).reshape(-1, 3)  # [C, 3]
-    corner_pos = base[:, None, :] + _CORNERS[None]         # [C, 8, 3]
-    cv = grid[corner_pos[..., 0], corner_pos[..., 1], corner_pos[..., 2]]
-    active = (cv > iso).any(-1) & (cv <= iso).any(-1)
-    base = base[active]
-    cv = cv[active]
-    corner_pos = corner_pos[active]
+    # Scan cubes in x-slabs so only one slab's dense [S*(ny-1)*(nz-1), 8]
+    # corner tensors are ever live (a one-shot (res-1)^3 enumeration at
+    # res=256 peaked ~4-5 GB); only surface-crossing cubes survive.
+    slab = max(1, (1 << 22) // max((ny - 1) * (nz - 1), 1))
+    bases, cvs, corners = [], [], []
+    for x0 in range(0, nx - 1, slab):
+        x1 = min(x0 + slab, nx - 1)
+        xs, ys, zs = np.meshgrid(
+            np.arange(x0, x1), np.arange(ny - 1), np.arange(nz - 1),
+            indexing="ij",
+        )
+        b = np.stack([xs, ys, zs], axis=-1).reshape(-1, 3)
+        cp = b[:, None, :] + _CORNERS[None]
+        v = grid[cp[..., 0], cp[..., 1], cp[..., 2]]
+        act = (v > iso).any(-1) & (v <= iso).any(-1)
+        if act.any():
+            bases.append(b[act])
+            cvs.append(v[act])
+            corners.append(cp[act])
+    if bases:
+        base = np.concatenate(bases, axis=0)
+        cv = np.concatenate(cvs, axis=0)
+        corner_pos = np.concatenate(corners, axis=0)
+    else:
+        base = np.zeros((0, 3), np.int64)
+        cv = np.zeros((0, 8), grid.dtype)
+        corner_pos = np.zeros((0, 8, 3), np.int64)
 
     def lattice_id(p):  # [*, 3] -> flat int ids
         return (p[..., 0] * ny + p[..., 1]) * nz + p[..., 2]

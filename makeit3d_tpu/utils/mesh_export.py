@@ -35,7 +35,7 @@ def extract_mesh(
     """Chunked density query + isosurface (reference: renderer.py:167-190).
 
     density_fn: [N, 3] in [-bound, bound] -> [N] sigma (host numpy in/out).
-    Returns verts [V, 3] in [-1, 1], tris [T, 3].
+    Returns verts [V, 3] in WORLD coordinates [-bound, bound], tris [T, 3].
     """
     lin = np.linspace(-1, 1, resolution, dtype=np.float32) * bound
     grid = np.zeros((resolution,) * 3, np.float32)
@@ -45,7 +45,11 @@ def extract_mesh(
         tail = min(head + chunk, len(pts))
         grid.reshape(-1)[head:tail] = np.asarray(density_fn(pts[head:tail]))
     verts, tris = marching_cubes(grid, threshold)
-    verts = verts / (resolution - 1.0) * 2.0 - 1.0
+    # back to world coords: the lattice spans [-bound, bound], so the
+    # texture bake queries the field at the true surface positions for
+    # any bound (previously verts stayed in [-1, 1] and bound != 1 runs
+    # exported shrunken geometry with mis-sampled albedo)
+    verts = (verts / (resolution - 1.0) * 2.0 - 1.0) * bound
     return verts.astype(np.float32), tris.astype(np.int64), grid
 
 
