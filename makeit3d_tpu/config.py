@@ -150,9 +150,14 @@ class Config:
 
     @property
     def per_level_scale(self) -> float:
-        # reference: nerf/network_tcnn.py:52
+        # reference: nerf/network_tcnn.py:52; must agree with
+        # ops/encoding.py HashGridEncoder's internal computation
         return float(
-            2.0 ** (math.log2(2048.0 * self.bound / 16.0) / (self.hash_levels - 1))
+            2.0 ** (
+                math.log2(self.desired_resolution * self.bound
+                          / self.base_resolution)
+                / (self.hash_levels - 1)
+            )
         )
 
     def replace(self, **kw) -> "Config":

@@ -56,7 +56,7 @@ def parse_args(argv=None):
     p.add_argument("--uniform_sphere_rate", type=float,
                    default=d.uniform_sphere_rate)
     p.add_argument("--diff_iters", type=int, default=d.diff_iters)
-    p.add_argument("--step_range", type=float, nargs="*", default=[0.2, 0.6])
+    p.add_argument("--step_range", type=float, nargs=2, default=[0.2, 0.6])
     # model (reference main.py:54-66)
     p.add_argument("--bg_radius", type=float, default=d.bg_radius)
     p.add_argument("--density_thresh", type=float, default=d.density_thresh)
@@ -77,11 +77,11 @@ def parse_args(argv=None):
     p.add_argument("--bound", type=float, default=d.bound)
     p.add_argument("--dt_gamma", type=float, default=d.dt_gamma)
     p.add_argument("--min_near", type=float, default=d.min_near)
-    p.add_argument("--radius_range", type=float, nargs="*", default=[1.0, 1.5])
+    p.add_argument("--radius_range", type=float, nargs=2, default=[1.0, 1.5])
     p.add_argument("--fov", type=float, default=d.fov)
-    p.add_argument("--fovy_range", type=float, nargs="*", default=[15, 25])
-    p.add_argument("--theta_range", type=float, nargs="*", default=[70, 110])
-    p.add_argument("--phi_range", type=float, nargs="*", default=[0, 360])
+    p.add_argument("--fovy_range", type=float, nargs=2, default=[15, 25])
+    p.add_argument("--theta_range", type=float, nargs=2, default=[70, 110])
+    p.add_argument("--phi_range", type=float, nargs=2, default=[0, 360])
     p.add_argument("--lambda_entropy", type=float, default=d.lambda_entropy)
     p.add_argument("--lambda_opacity", type=float, default=d.lambda_opacity)
     p.add_argument("--lambda_orient", type=float, default=d.lambda_orient)
@@ -154,9 +154,14 @@ def main(argv=None):
     from .training.trainer import Trainer
     from .utils.image import erode_mask, estimate_depth, load_ref_image, normalize_depth
 
-    # guidance (reference: main.py:146-153)
+    # guidance (reference: main.py:146-153). Pure --test (orbit render /
+    # mesh export) never touches the prompt or the diffusion stack —
+    # skip loading the towers and the BLIP caption requirement there.
+    needs_guidance = not args.test or args.refine
     guidance = None
-    if cfg.guidance == "stable-diffusion":
+    if not needs_guidance:
+        pass
+    elif cfg.guidance == "stable-diffusion":
         import jax.numpy as jnp
 
         from .guidance.sd import StableDiffusionGuidance
@@ -186,7 +191,7 @@ def main(argv=None):
         disparity = cv2.resize(np.asarray(disparity, np.float64), (512, 512))
         ref_depth = normalize_depth(disparity, ref_mask)
 
-        if cfg.text is None and guidance is not None:
+        if cfg.text is None and guidance is not None and needs_guidance:
             cfg = cfg.replace(text=caption_image(cfg.ref_path,
                                                  args.blip_weights))
             print("Caption:", cfg.text)

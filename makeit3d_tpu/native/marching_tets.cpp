@@ -56,7 +56,8 @@ struct MeshBuilder {
       std::swap(ay, by);
       std::swap(az, bz);
     }
-    // pack: endpoint a (10 bits per axis) + direction code (2 bits/axis)
+    // pack: endpoint a (11 bits per axis; grids beyond 2047^3 would
+// collide in the dedup key) + direction code (2 bits/axis)
     uint64_t key = 0;
     key = (key << 11) | uint64_t(ax);
     key = (key << 11) | uint64_t(ay);
@@ -107,7 +108,8 @@ struct MeshBuilder {
 extern "C" {
 
 // grid: [nx, ny, nz] row-major (x outermost). Returns 0 on success.
-// Two-phase API: call with verts/tris null to count, then to fill.
+// Single-phase API: out_verts/out_tris are malloc'd here and owned
+// by the caller (freed via mtets_free); null outputs are NOT supported.
 int marching_tets(const float* grid, int64_t nx, int64_t ny, int64_t nz,
                   float iso, float** out_verts, int64_t* out_nv,
                   int64_t** out_tris, int64_t* out_nt) {

@@ -20,8 +20,7 @@ import os
 import numpy as np
 
 
-def run(input_dir: str, output_dir: str, weights: str,
-        optimize: bool = True) -> int:
+def run(input_dir: str, output_dir: str, weights: str) -> int:
     import jax
     import jax.numpy as jnp
 

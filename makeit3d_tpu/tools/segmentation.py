@@ -4,9 +4,10 @@ Equivalent of the reference's `DPT/run_segmentation.py`: run the
 DPT-hybrid ADE20K segmentation model over every image in a folder and
 write palette-colored overlay PNGs. The model is the flax
 DPTSegmentationModel (models/dpt.py); inference is one jitted forward
-per fixed 480x480 input shape (images are letterboxed to the network
-size, so every image reuses the same compiled program — the torch
-original recompiles nothing but pays per-image dynamic shapes).
+per fixed 480x480 input shape (images are square-resized to the
+network size — NOTE: this distorts aspect ratio, unlike the reference's
+keep-aspect Resize — so every image reuses the same compiled program;
+the torch original pays per-image dynamic shapes instead).
 
 CLI: python -m makeit3d_tpu.tools.segmentation -i in_dir -o out_dir -m seg.pt
 """

@@ -76,7 +76,13 @@ def transform_image_3d(
     eps = 1.0 / 512 - 1e-4 if pad_image else 0.0
     warped = grid_sample(image + eps, coords, mode="bicubic",
                          padding_mode="zeros", align_corners=True)
-    new_z = new_ndc[:, 2].reshape(H, W)
+    # resample z along the same flow so the depth frame is spatially
+    # aligned with the warped RGB (transform_depth_3d's pattern; the
+    # un-resampled new_ndc z is indexed by SOURCE pixels)
+    new_z = grid_sample(
+        new_ndc[:, 2].reshape(H, W, 1), coords, mode="bicubic",
+        padding_mode="border", align_corners=True,
+    )[..., 0]
     return warped, new_z
 
 
@@ -151,7 +157,9 @@ def orbit_trajectory(n_frames: int = 36, amplitude_deg: float = 10.0):
     """The reference's default circular camera wobble
     (DPT/warp_depth.py:140-150)."""
     out = []
-    for t in np.linspace(0.0, 10.0, n_frames):
+    # endpoint=False: t=0 and t=10 are the same pose; a closed orbit
+    # must not duplicate its seam frame
+    for t in np.linspace(0.0, 10.0, n_frames, endpoint=False):
         out.append({
             "Rx": amplitude_deg * math.cos(2 * math.pi * t / 10.0),
             "Ry": amplitude_deg * math.sin(2 * math.pi * t / 10.0),
@@ -179,14 +187,19 @@ def run(input_path: str, output_path: str, weights: str,
     # normalized disparity in [0.5, 1.5] (DPT/warp_depth.py:200)
     depth = _normalize01(disp) + 0.5
 
-    frames, depth_frames = [], []
+    frames, zs = [], []
     for rotate in orbit_trajectory(n_frames):
         img_w, z_w = anim_warp_3d(rgb, depth, rotate)
         frames.append(
             (np.clip(np.asarray(img_w), 0, 1) * 255).astype(np.uint8))
-        depth_frames.append(
-            (_normalize01(np.asarray(z_w)) * 255).astype(np.uint8)[..., None]
-            .repeat(3, axis=-1))
+        zs.append(np.asarray(z_w))
+    # one global min/max across the orbit — per-frame normalization made
+    # constant-depth regions pulse in brightness
+    zcat = _normalize01(np.stack(zs))
+    depth_frames = [
+        (z * 255).astype(np.uint8)[..., None].repeat(3, axis=-1)
+        for z in zcat
+    ]
 
     stem = os.path.splitext(os.path.basename(input_path))[0]
     vid = os.path.join(output_path, f"{stem}.mp4")
