@@ -672,7 +672,20 @@ class Trainer:
         all_rgb, all_normal, all_poses = [], [], []
         for i in range(sampler.size):
             view = sampler.get(i)
-            res = self.render_image(view, bg_color=1.0)
+            try:
+                # deadline-bound like the train loop: a dead relay RPC
+                # otherwise hangs the orbit forever; partial orbits
+                # still produce their videos below
+                res = watchdog.call_with_timeout(
+                    functools.partial(self.render_image, view,
+                                      bg_color=1.0),
+                    self.cfg.step_timeout_s)
+            except (jax.errors.JaxRuntimeError,
+                    watchdog.DeviceHangError) as e:
+                self.ws.log(
+                    f"[WARN] test render died at view {i}/{sampler.size} "
+                    f"({type(e).__name__}); writing partial orbit.")
+                break
             rgb = (np.clip(res["image"], 0, 1) * 255).astype(np.uint8)
             mask = ((res["weights_sum"] > 0.9) * 255).astype(np.uint8)
             normal = (np.clip(res.get("normal", res["image"]), 0, 1) * 255).astype(np.uint8)
@@ -689,11 +702,14 @@ class Trainer:
                 save_depth_u16(os.path.join(save_path, f"{name}_{i:04d}_depth.png"),
                                res["depth"])
                 cv2.imwrite(os.path.join(save_path, f"{name}_{i:04d}_mask.png"), mask)
-        if write_video_out:
-            write_video(os.path.join(save_path, f"{name}_rgb.mp4"), all_rgb)
-            write_video(os.path.join(save_path, f"{name}_normal.mp4"), all_normal)
-        np.save(os.path.join(save_path, f"{name}_poses.npy"),
-                np.stack(all_poses, axis=0))
+        if all_rgb:
+            if write_video_out:
+                write_video(os.path.join(save_path, f"{name}_rgb.mp4"),
+                            all_rgb)
+                write_video(os.path.join(save_path, f"{name}_normal.mp4"),
+                            all_normal)
+            np.save(os.path.join(save_path, f"{name}_poses.npy"),
+                    np.stack(all_poses, axis=0))
         self.ws.log("==> Finished Test.")
 
     # ------------------------------------------------------------------
