@@ -168,7 +168,12 @@ def march_rays(
     # (measured: 0.16 it/s vs 112 it/s dense — a 700x data-dependent
     # cliff). Spread fallbacks keep positions unique; their cotangents
     # are zero either way (composite/orient/smooth all mask on `valid`).
-    fallback = (jnp.arange(S, dtype=jnp.int32) * (K // S))[None, :]
+    # max(K//S, 1) + clamp: with S > K a plain arange*(K//S) would put
+    # every fallback at index 0 (or past K), reinstating the exact
+    # collision flood above.
+    fallback = jnp.minimum(
+        jnp.arange(S, dtype=jnp.int32) * max(K // S, 1), K - 1
+    )[None, :]
     slot_idx = jnp.where(valid, jnp.minimum(slot_idx, K - 1), fallback)
 
     t_s = jnp.take_along_axis(t, slot_idx, axis=-1)  # [N, S]

@@ -426,14 +426,29 @@ class Trainer:
             f"==> Start Training {self.ws.root} Epoch {self.epoch}, lr={lr:.6f} ..."
         )
         def body(i):
+            # Commit discipline mirrors step(): body() runs inside a
+            # watchdog daemon thread, so a zombie thread unblocking after
+            # a snapshot restore must not overwrite the restored lineage
+            # (grid/key/_host_snapshot writes below).
+            gen = self._state_gen
+
+            def commit_guard():
+                if gen != self._state_gen:
+                    raise watchdog.DeviceHangError(
+                        "stale epoch body discarded (state restored "
+                        "mid-flight)")
+
             if self.global_step % cfg.update_extra_interval == 0:
-                self.key, k = jax.random.split(self.key)
-                self.grid = self._update_grid(self.params, self.grid, k)
+                key, k = jax.random.split(self.key)
+                grid = self._update_grid(self.params, self.grid, k)
+                commit_guard()
+                self.key, self.grid = key, grid
             if self.global_step % cfg.snapshot_interval == 0:
                 # rollback point for re-rolls. Decoupled from the grid
                 # cadence: a snapshot drags ~270 MB of params+EMAs
                 # through the relay (seconds), so it must be rare.
-                self.take_host_snapshot()
+                commit_guard()
+                self.take_host_snapshot(gen=gen)
             batch_np = sampler.get(i)
             metrics, aux = self.step(batch_np)
             # Host syncs are expensive through the axon relay (a
@@ -497,16 +512,28 @@ class Trainer:
     # restore the snapshot, rebuild the step with a fresh compile salt
     # (new executable), and replay.
 
-    def take_host_snapshot(self):
-        self._host_snapshot = {
+    def take_host_snapshot(self, gen: Optional[int] = None):
+        """Copy train state to host as the re-roll rollback point.
+
+        `gen` (when called from a watchdog-threaded path) is the state
+        generation captured at the caller's entry: the D2H copies below
+        can block for seconds on a dead relay, and a zombie thread that
+        unblocks after a restore must not replace _host_snapshot with its
+        stale pre-restore lineage — the next fault would then roll back
+        to the wrong state."""
+        snap = {
             "params": jax.tree.map(np.asarray, self.params),
             "opt_state": jax.tree.map(np.asarray, self.opt_state),
             "grid": jax.tree.map(np.asarray, self.grid),
             "global_step": self.global_step,
             "key": np.asarray(self.key),
         }
+        if gen is not None and gen != self._state_gen:
+            raise watchdog.DeviceHangError(
+                "stale snapshot discarded (state restored mid-flight)")
+        self._host_snapshot = snap
 
-    def _recover_from_fault(self, err: Exception) -> bool:
+    def _recover_from_fault(self, err: Exception, _retries: int = 0) -> bool:
         cfg = self.cfg
         if self._host_snapshot is None:
             return False
@@ -535,10 +562,14 @@ class Trainer:
         try:
             watchdog.call_with_timeout(restore, cfg.step_timeout_s)
         except (jax.errors.JaxRuntimeError, watchdog.DeviceHangError):
-            # worker still down; one more wait, then let the caller retry
+            # Worker still down; wait and retry. The budget is
+            # per-fault-episode (_retries), NOT the lifetime-cumulative
+            # compile salt — the salt is solely the executable-uniqueness
+            # nonce, and bounding on it would permanently disable
+            # recovery after enough sparse faults over a long run.
             time.sleep(cfg.reroll_wait_s)
-            return self._recover_from_fault(err) \
-                if self._compile_salt < cfg.max_compile_rerolls else False
+            return self._recover_from_fault(err, _retries + 1) \
+                if _retries < cfg.max_compile_rerolls else False
         return True
 
     def step(self, view) -> tuple:
@@ -616,7 +647,15 @@ class Trainer:
         depth_scale = view.depth_scale.reshape(-1)
         chunks = []
         B = cfg.max_ray_batch
-        self.key, k = jax.random.split(self.key)
+        # gen-guarded key advance: render_image runs under the watchdog
+        # from evaluate()/test(); a zombie thread must not overwrite the
+        # key restored by _recover_from_fault (same discipline as step()).
+        gen = self._state_gen
+        key, k = jax.random.split(self.key)
+        if gen != self._state_gen:
+            raise watchdog.DeviceHangError(
+                "stale render discarded (state restored mid-flight)")
+        self.key = key
         bg = jnp.asarray(np.broadcast_to(bg_color, (3,)), jnp.float32)
         for head in range(0, H * W, B):
             tail = min(head + B, H * W)
