@@ -48,6 +48,10 @@ class Config:
     albedo_iters: int = 1000
     uniform_sphere_rate: float = 0.5
     diff_iters: int = 400
+    # model EMA decay; None disables (reference: nerf/utils.py:209,304-307
+    # — opt-in torch_ema mirror applied at eval/test and stored in
+    # checkpoints)
+    ema_decay: Optional[float] = None
     step_range: Tuple[float, float] = (0.2, 0.6)
 
     # ---- model (reference main.py:54-66) ----

@@ -60,15 +60,19 @@ from .optimizer import make_lr_schedule, make_optimizer
 
 
 def build_loss_fn(cfg, field, settings, guidance, is_front: bool,
-                  shaded: bool = True):
+                  shaded: bool = True, with_sds: bool = True):
     """The per-step loss as a pure function (front|novel x albedo|shaded
-    variants).
+    x sds|no-sds variants).
 
     reference: nerf/utils.py:461-574 train_step. See the class docstring
     for the single-backward SDS reformulation. `shaded=False` is the
     albedo-mode program: no normal probes, and — matching the
     reference's `normals is not None` gates (renderer.py:513-524) — no
-    orient/smooth losses.
+    orient/smooth losses. `with_sds=False` is the pre-diff_iters program:
+    the reference skips guidance.train_step entirely while
+    `global_step < diff_iters` (utils.py:512-517), so steps before that
+    boundary must not pay the VAE+2xUNet FLOPs — only the ViT-B/16 CLIP
+    losses remain on novel views (utils.py:561-563 run unconditionally).
     """
 
     def loss_and_metrics(params, grid, key, batch, marched=None):
@@ -144,19 +148,21 @@ def build_loss_fn(cfg, field, settings, guidance, is_front: bool,
                 loss += cfg.lambda_clip * l_clip
                 metrics["loss_clip"] = l_clip
                 # SDS / denoise guidance once past diff_iters
-                # (reference: utils.py:512-517)
-                l_sds = guidance.train_step_loss(
-                    k_guide,
-                    batch["text_z"],
-                    pred_rgb512,
-                    gt_rgb,
-                    is_large,
-                    cfg.guidance_scale,
-                    text_pooled=batch["text_z_clip"],
-                    gparams=batch["gparams"],
-                )
-                loss += diff_phase * l_sds
-                metrics["loss_sds"] = l_sds
+                # (reference: utils.py:512-517). with_sds=False compiles
+                # this subgraph out entirely for pre-diff steps.
+                if with_sds:
+                    l_sds = guidance.train_step_loss(
+                        k_guide,
+                        batch["text_z"],
+                        pred_rgb512,
+                        gt_rgb,
+                        is_large,
+                        cfg.guidance_scale,
+                        text_pooled=batch["text_z_clip"],
+                        gparams=batch["gparams"],
+                    )
+                    loss += diff_phase * l_sds
+                    metrics["loss_sds"] = l_sds
 
         metrics["loss"] = loss
         metrics["ws_mean"] = jnp.mean(pred_ws)
@@ -172,7 +178,8 @@ def build_loss_fn(cfg, field, settings, guidance, is_front: bool,
 
 
 def build_train_step(cfg, field, optimizer, settings, guidance,
-                     is_front: bool, salt: int = 0, shaded: bool = True):
+                     is_front: bool, salt: int = 0, shaded: bool = True,
+                     with_sds: bool = True):
     """loss -> grad -> Adan update, as one jittable pure function.
 
     `salt` perturbs one literal by 1e-6*salt so re-rolled compilations
@@ -183,7 +190,7 @@ def build_train_step(cfg, field, optimizer, settings, guidance,
     (hence every gradient, uniformly) by a negligible factor.
     """
     loss_fn = build_loss_fn(cfg, field, settings, guidance, is_front,
-                            shaded=shaded)
+                            shaded=shaded, with_sds=with_sds)
 
     def train_step(params, opt_state, grid, key, batch, marched=None):
         def salted(p):
@@ -203,7 +210,8 @@ def build_train_step(cfg, field, optimizer, settings, guidance,
 
 def make_train_step(cfg, field, optimizer, settings, guidance,
                     is_front: bool, split: Optional[bool] = None,
-                    salt: int = 0, shaded: bool = True):
+                    salt: int = 0, shaded: bool = True,
+                    with_sds: bool = True):
     """Jitted train step, optionally as two programs (march | step).
 
     split=None follows cfg.split_march (default off). Measured on the
@@ -217,7 +225,7 @@ def make_train_step(cfg, field, optimizer, settings, guidance,
         split = bool(cfg.split_march)
     inner = jax.jit(build_train_step(
         cfg, field, optimizer, settings, guidance, is_front=is_front,
-        salt=salt, shaded=shaded))
+        salt=salt, shaded=shaded, with_sds=with_sds))
     if not split:
         return inner
 
@@ -271,9 +279,16 @@ class Trainer:
         self.settings_train = RenderSettings.from_config(cfg, training=True)
         self.settings_eval = RenderSettings.from_config(cfg, training=False)
 
+        # model EMA mirror (reference: utils.py:304-307 torch_ema;
+        # updated per step at utils.py:1006-1007, swapped in around
+        # eval/test at utils.py:1043-1071, saved in full checkpoints)
+        self.ema_params = (
+            jax.tree.map(jnp.array, self.params) if cfg.ema_decay else None
+        )
+
         self.epoch = 0
         self.global_step = 0
-        self.stats: Dict[str, Any] = {"loss": []}
+        self.stats: Dict[str, Any] = {"loss": [], "results": []}
         self._host_rng = np.random.default_rng(seed)
         self._compile_salt = 0   # bumped per re-roll (see step())
         self._host_snapshot = None
@@ -330,18 +345,33 @@ class Trainer:
             )
 
         self._update_grid = update_grid
-        # Three static program variants (front is always albedo-shaded,
-        # reference utils.py:470-483): (front, albedo), (novel, albedo),
-        # (novel, shaded). Albedo programs skip the 6 finite-difference
-        # normal probes — 7x fewer field evals (network_tcnn.py:141-144).
+        # Static program variants (front is always albedo-shaded,
+        # reference utils.py:470-483), keyed (is_front, shaded, with_sds):
+        # albedo programs skip the 6 finite-difference normal probes — 7x
+        # fewer field evals (network_tcnn.py:141-144) — and pre-diff_iters
+        # programs compile out the SD VAE+UNet subgraph entirely
+        # (utils.py:512-517). jit is lazy, so only the variants a run
+        # actually reaches are ever compiled.
         self._train_step = {
-            (front, shaded): make_train_step(
+            (front, shaded, with_sds): make_train_step(
                 cfg, self.field, self.optimizer, self.settings_train,
                 self.guidance, is_front=front, salt=self._compile_salt,
-                shaded=shaded)
+                shaded=shaded, with_sds=with_sds)
             for front, shaded in ((True, False), (False, False),
                                   (False, True))
+            for with_sds in ((False, True) if self.guidance is not None
+                             and not front else (False,))
         }
+        if cfg.ema_decay:
+            d = float(cfg.ema_decay)
+
+            @jax.jit
+            def ema_update(ema, params):
+                return jax.tree.map(
+                    lambda e, p: d * e + (1.0 - d) * p, ema, params
+                )
+
+            self._ema_update = ema_update
 
         @functools.partial(jax.jit, static_argnames=("n_samples",))
         def render_chunk(params, grid, rays_o, rays_d, key, bg_color,
@@ -406,6 +436,9 @@ class Trainer:
                         watchdog.call_with_timeout(
                             lambda: self.evaluate(valid_sampler),
                             cfg.step_timeout_s * 2)
+                        # eval-gated best slot (reference: utils.py:654-656
+                        # saves best after each eval interval)
+                        self.save_checkpoint(best=True)
                     except (jax.errors.JaxRuntimeError,
                             watchdog.DeviceHangError) as e:
                         # eval is observability, not training state:
@@ -527,6 +560,10 @@ class Trainer:
             "grid": jax.tree.map(np.asarray, self.grid),
             "global_step": self.global_step,
             "key": np.asarray(self.key),
+            "ema_params": (
+                jax.tree.map(np.asarray, self.ema_params)
+                if self.ema_params is not None else None
+            ),
         }
         if gen is not None and gen != self._state_gen:
             raise watchdog.DeviceHangError(
@@ -554,6 +591,9 @@ class Trainer:
             self.opt_state = jax.tree.map(jnp.asarray, snap["opt_state"])
             self.global_step = snap["global_step"]
             self.key = jnp.asarray(snap["key"])
+            if snap.get("ema_params") is not None:
+                self.ema_params = jax.tree.map(
+                    jnp.asarray, snap["ema_params"])
             # the pre-crash grid is dead device memory; restore from host
             self.grid = jax.tree.map(jnp.asarray, snap["grid"])
             self._build_jits()
@@ -619,10 +659,19 @@ class Trainer:
             batch["text_z_clip"] = self._clip_text_cache[text_idx]
             batch["gparams"] = self.guidance.params
 
+        use_sds = (
+            not view.is_front
+            and self.guidance is not None
+            and gs >= cfg.diff_iters
+        )
         key, k = jax.random.split(self.key)
         params, opt_state, metrics, aux = self._train_step[
-            (view.is_front, shading != SHADING_ALBEDO)
+            (view.is_front, shading != SHADING_ALBEDO, use_sds)
         ](self.params, self.opt_state, self.grid, k, batch)
+        ema = (
+            self._ema_update(self.ema_params, params)
+            if self.ema_params is not None else None
+        )
         # Surface worker faults inside the re-roll guard at the grid
         # cadence — blocking every step through the axon relay costs ~6x
         # throughput (the reference syncs per step via loss.item(),
@@ -634,6 +683,8 @@ class Trainer:
                 "stale step discarded (state restored mid-flight)")
         self.key = key
         self.params, self.opt_state = params, opt_state
+        if ema is not None:
+            self.ema_params = ema
         self.global_step = gs
         return metrics, aux
 
@@ -684,21 +735,50 @@ class Trainer:
             res["normal"] = res["normal"].reshape(H, W, 3)
         return res
 
+    class _EmaScope:
+        """store() / copy_to() / restore() around eval and test renders
+        (reference: utils.py:1043-1071)."""
+
+        def __init__(self, trainer):
+            self.trainer = trainer
+            self.saved = None
+
+        def __enter__(self):
+            if self.trainer.ema_params is not None:
+                self.saved = self.trainer.params
+                self.trainer.params = self.trainer.ema_params
+            return self
+
+        def __exit__(self, *exc):
+            if self.saved is not None:
+                self.trainer.params = self.saved
+            return False
+
     def evaluate(self, sampler: ViewSampler, name: Optional[str] = None):
-        """Validation orbit renders (reference: utils.py:1030-1073)."""
+        """Validation orbit renders (reference: utils.py:1030-1073).
+
+        Renders with EMA weights when enabled, and records an eval result
+        (mean foreground coverage as the ranking scalar — the reference
+        appends to stats["results"] to unlock best-checkpoint saving,
+        utils.py:1106-1122, while ranking nothing: "loss cannot reflect
+        performance")."""
         os.makedirs(self.ws.valid_dir, exist_ok=True)
         name = name or f"{self.name}_ep{self.epoch:04d}"
-        for i in range(sampler.size):
-            view = sampler.get(i)
-            res = self.render_image(view)
-            save_image_u8(
-                os.path.join(self.ws.valid_dir, f"{name}_{i + 1:04d}_rgb.png"),
-                res["image"],
-            )
-            save_image_u8(
-                os.path.join(self.ws.valid_dir, f"{name}_{i + 1:04d}_depth.png"),
-                res["depth"] / max(res["depth"].max(), 1e-6),
-            )
+        with self._EmaScope(self):
+            for i in range(sampler.size):
+                view = sampler.get(i)
+                res = self.render_image(view)
+                save_image_u8(
+                    os.path.join(self.ws.valid_dir, f"{name}_{i + 1:04d}_rgb.png"),
+                    res["image"],
+                )
+                save_image_u8(
+                    os.path.join(self.ws.valid_dir, f"{name}_{i + 1:04d}_depth.png"),
+                    res["depth"] / max(res["depth"].max(), 1e-6),
+                )
+        self.stats["results"].append(
+            float(np.mean(res["weights_sum"])) if sampler.size else 0.0
+        )
         self.ws.log(f"++> Evaluate epoch {self.epoch} Finished.")
 
     def test(self, sampler: ViewSampler, save_path: Optional[str] = None,
@@ -709,6 +789,8 @@ class Trainer:
         os.makedirs(save_path, exist_ok=True)
         name = name or f"{self.name}_ep{self.epoch:04d}"
         all_rgb, all_normal, all_poses = [], [], []
+        ema_scope = self._EmaScope(self)
+        ema_scope.__enter__()
         for i in range(sampler.size):
             view = sampler.get(i)
             try:
@@ -741,6 +823,7 @@ class Trainer:
                 save_depth_u16(os.path.join(save_path, f"{name}_{i:04d}_depth.png"),
                                res["depth"])
                 cv2.imwrite(os.path.join(save_path, f"{name}_{i:04d}_mask.png"), mask)
+        ema_scope.__exit__()
         if all_rgb:
             if write_video_out:
                 write_video(os.path.join(save_path, f"{name}_rgb.mp4"),
@@ -793,15 +876,40 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _ckpt_state(self):
-        return {
+        state = {
             "params": self.params,
             "opt_state": self.opt_state,
             "grid": self.grid,
             "epoch": self.epoch,
             "global_step": self.global_step,
         }
+        if self.ema_params is not None:
+            # reference: utils.py:1094-1095 (EMA state in full checkpoints)
+            state["ema_params"] = self.ema_params
+        return state
 
-    def save_checkpoint(self, name: Optional[str] = None):
+    def save_checkpoint(self, name: Optional[str] = None,
+                        best: bool = False):
+        """best=True writes the eval-gated best slot with EMA weights
+        swapped in (reference: utils.py:1106-1122 — "always save best
+        since loss cannot reflect performance", but only after at least
+        one eval has recorded a result). The best file sits outside the
+        rotation window."""
+        if best:
+            if not self.stats["results"]:
+                self.ws.log(
+                    "[WARN] no evaluated results found, "
+                    "skip saving best checkpoint.")
+                return
+            with self._EmaScope(self):
+                state = self._ckpt_state()
+            path = os.path.join(self.ws.ckpt_dir, f"{self.name}_best.ckpt")
+            from flax import serialization
+
+            with open(path, "wb") as f:
+                f.write(serialization.to_bytes(state))
+            self.ws.log(f"[INFO] saved best checkpoint {path}")
+            return
         name = name or f"{self.name}_ep{self.epoch:04d}"
         path = save_checkpoint(self.ws.ckpt_dir, name, self._ckpt_state())
         self.ws.log(f"[INFO] saved checkpoint {path}")
@@ -828,15 +936,30 @@ class Trainer:
                 "epoch": raw["epoch"],
                 "global_step": raw["global_step"],
             }
-            self.ws.log(
-                "[WARN] checkpoint optimizer state incompatible; "
-                "optimizer reinitialized (model weights loaded)."
-            )
-            self.opt_state = self.optimizer.init(state["params"])
+            if "ema_params" in raw and self.ema_params is not None:
+                state["ema_params"] = serialization.from_state_dict(
+                    tmpl["params"], raw["ema_params"])
+            try:
+                self.opt_state = serialization.from_state_dict(
+                    tmpl["opt_state"], raw["opt_state"])
+            except Exception:
+                self.ws.log(
+                    "[WARN] checkpoint optimizer state incompatible; "
+                    "optimizer reinitialized (model weights loaded)."
+                )
+                self.opt_state = self.optimizer.init(state["params"])
         self.params = state["params"]
         self.grid = DensityGrid(*state["grid"])
         self.epoch = int(state["epoch"])
         self.global_step = int(state["global_step"])
+        if self.ema_params is not None:
+            # resume EMA lineage when present; otherwise restart the EMA
+            # from the loaded weights (reference: utils.py:1160-1165)
+            loaded = state.get("ema_params") if isinstance(state, dict) else None
+            self.ema_params = (
+                loaded if loaded is not None
+                else jax.tree.map(jnp.array, self.params)
+            )
         self.ws.log(
             f"[INFO] load at epoch {self.epoch}, global step {self.global_step}"
         )

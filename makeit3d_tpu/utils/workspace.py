@@ -131,8 +131,13 @@ def save_checkpoint(ckpt_dir: str, name: str, state: Dict[str, Any],
     path = os.path.join(ckpt_dir, f"{name}.ckpt")
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(state))
-    # rotation
-    ckpts = sorted(glob.glob(os.path.join(ckpt_dir, "*.ckpt")))
+    # rotation — the eval-gated best slot (*_best.ckpt) sits outside the
+    # window (reference keeps best.pth out of max_keep_ckpt rotation,
+    # utils.py:1106-1122)
+    ckpts = sorted(
+        p for p in glob.glob(os.path.join(ckpt_dir, "*.ckpt"))
+        if not p.endswith("_best.ckpt")
+    )
     while len(ckpts) > max_keep:
         os.remove(ckpts.pop(0))
     return path

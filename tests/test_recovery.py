@@ -49,7 +49,7 @@ def test_epoch_recovers_from_fault(tiny_cfg, exc):
                  use_checkpoint="scratch")
     sampler = ViewSampler(tiny_cfg, type="train", H=tiny_cfg.h,
                           W=tiny_cfg.w, size=12, seed=0)
-    key = (True, False)  # the front program (front views sample first)
+    key = (True, False, False)  # the front program (front views sample first)
     tr._train_step[key] = _Boom(tr._train_step[key], when=3, exc=exc)
     salt_before = tr._compile_salt
 
@@ -76,8 +76,8 @@ def test_fault_exhausts_rerolls(tiny_cfg):
     # both albedo-phase programs permanently broken -> must raise after
     # max_compile_rerolls (each _build_jits rebuild is re-broken here)
     def rebreak():
-        tr._train_step[(True, False)] = always_boom
-        tr._train_step[(False, False)] = always_boom
+        tr._train_step[(True, False, False)] = always_boom
+        tr._train_step[(False, False, False)] = always_boom
 
     orig_build = tr._build_jits
 
