@@ -133,6 +133,10 @@ class Config:
     # None = off (measured: does NOT avoid the v5e fault lottery, see
     # docs/TPU_NOTES.md 2026-08-16 follow-up; kept as an experiment knob).
     split_march: Optional[bool] = None
+    # Evaluate FD normal probes as 7 separate field calls instead of one
+    # [7N] batch (see HashGridField.split_probes). Dodges the axon-v5e
+    # fused probes+scatter backward fault (round-2 ablation matrix).
+    split_probes: bool = False
     # paths to locally available pretrained weights (no network egress):
     sd_weights: Optional[str] = None
     clip_weights: Optional[str] = None

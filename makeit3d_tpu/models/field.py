@@ -82,6 +82,15 @@ class HashGridField(nn.Module):
     desired_resolution: int = 2048
     fd_epsilon: float = 1e-2
     lambert_min: float = 0.1  # reference: network_tcnn.py:160 clamp(min=0.1)
+    # Evaluate the 6 finite-difference probes as separate field calls
+    # (the reference's structure, network_tcnn.py:115-130) instead of one
+    # [7N] batch. Semantically identical; the separate calls give XLA 7
+    # independent gather->MLP->scatter chains in the backward, which
+    # dodges the axon-v5e Mosaic fusion fault triggered by the batched
+    # probe backward fused with the hash-table scatter-add
+    # (docs/TPU_NOTES.md, round-2 ablation: albedo+scatter OK,
+    # probes-sans-scatter OK, batched probes+scatter faults).
+    split_probes: bool = False
     # MLP compute dtype (bfloat16 = MXU fast path; params stay f32 via
     # flax's param_dtype default, as does everything nonlinear:
     # trunc_exp / sigmoid / normals run in f32)
@@ -142,12 +151,20 @@ class HashGridField(nn.Module):
             off = jnp.zeros((1, 3), x.dtype).at[0, axis].set(eps)
             parts.append(jnp.clip(x + off, -self.bound, self.bound))
             parts.append(jnp.clip(x - off, -self.bound, self.bound))
-        allx = jnp.concatenate(parts, axis=0)  # [7N, 3]
-        sigma_all, albedo_all = self.common(allx)
-        sigma = sigma_all[:N]
-        albedo = albedo_all[:N]
-        # probe k occupies rows [ (k+1)N, (k+2)N ): +x, -x, +y, -y, +z, -z
-        sigma_p = sigma_all[N:].reshape(6, N)
+        if self.split_probes:
+            # 7 separate evals (see the attribute docstring); sigma-only
+            # probes still produce albedo, matching the batched path's
+            # FLOPs, but each probe's backward is its own chain
+            sigma, albedo = self.common(parts[0])
+            sigma_p = jnp.stack(
+                [self.common(p)[0] for p in parts[1:]], axis=0)  # [6, N]
+        else:
+            allx = jnp.concatenate(parts, axis=0)  # [7N, 3]
+            sigma_all, albedo_all = self.common(allx)
+            sigma = sigma_all[:N]
+            albedo = albedo_all[:N]
+            # probe k occupies rows [(k+1)N, (k+2)N): +x,-x,+y,-y,+z,-z
+            sigma_p = sigma_all[N:].reshape(6, N)
         normal = -jnp.stack(
             [
                 0.5 * (sigma_p[0] - sigma_p[1]) / eps,
@@ -447,6 +464,7 @@ def make_field(cfg) -> nn.Module:
             log2_hashmap_size=cfg.log2_hashmap_size,
             base_resolution=cfg.base_resolution,
             desired_resolution=cfg.desired_resolution,
+            split_probes=cfg.split_probes,
             dtype=dtype,
         )
     if cfg.backbone == "vanilla":

@@ -58,6 +58,11 @@ def project_points(
 class RasterOut(NamedTuple):
     image: jnp.ndarray   # [H, W, C]
     alpha: jnp.ndarray   # [H, W] total accumulated alpha
+    # (point, corner) slots beyond the n_passes * tile_capacity window,
+    # summed over tiles — nonzero means the composite is missing far
+    # points and the caller should raise n_passes (pytorch3d bins every
+    # point: reference refine_utils.py:317-331). Scalar i32.
+    dropped: jnp.ndarray
 
 
 def render_points(
@@ -73,6 +78,7 @@ def render_points(
     bg_features: Optional[jnp.ndarray] = None,  # [C] (diff)
     tile_chunk: int = 256,  # tiles processed together (memory bound)
     use_pallas: Optional[bool] = None,  # fused Pallas tile kernel; None=auto
+    n_passes: int = 1,  # capacity chunks composited per tile (static)
 ) -> RasterOut:
     # The fused Pallas kernel is ~1.4x faster than the XLA tile path on a
     # v5e (48 vs 69 ms fwd+bwd at 800^2 / 200k points) — default on TPU.
@@ -85,8 +91,9 @@ def render_points(
         Wp = -(-W // TILE) * TILE
         out = render_points(points, features, world2cam, K, Hp, Wp,
                             radius_px, points_per_pixel, tile_capacity,
-                            bg_features, tile_chunk, use_pallas)
-        return RasterOut(image=out.image[:H, :W], alpha=out.alpha[:H, :W])
+                            bg_features, tile_chunk, use_pallas, n_passes)
+        return RasterOut(image=out.image[:H, :W], alpha=out.alpha[:H, :W],
+                         dropped=out.dropped)
     N, C = features.shape
     ty, tx = H // TILE, W // TILE
     n_tiles = ty * tx
@@ -141,17 +148,8 @@ def render_points(
     # per-tile ranges via searchsorted
     starts = jnp.searchsorted(s_tid, jnp.arange(n_tiles), side="left")
     counts = jnp.searchsorted(s_tid, jnp.arange(n_tiles), side="right") - starts
-
-    # gather each tile's first Kcap points (z-ascending)
-    offs = jnp.arange(Kcap)
-    idx = starts[:, None] + offs[None, :]            # [T, Kcap]
-    slot_valid = offs[None, :] < jnp.minimum(counts, Kcap)[:, None]
-    idx = jnp.minimum(idx, s_pid.shape[0] - 1)
-    tile_pid = s_pid[idx]                            # [T, Kcap]
-
-    tile_xy = xy[tile_pid]                           # [T, Kcap, 2]
-    tile_feat = features[tile_pid]                   # [T, Kcap, C]
-    tile_feat = jnp.where(slot_valid[..., None], tile_feat, 0.0)
+    window = n_passes * Kcap
+    dropped = jnp.sum(jnp.maximum(counts - window, 0)).astype(jnp.int32)
 
     # pixel centers per tile
     px = jnp.arange(TILE, dtype=jnp.float32)
@@ -166,8 +164,23 @@ def render_points(
     # NDC-unit radius/dist like the reference: ndc units = 2/H per pixel
     r_ndc2 = (radius_px / H * 2.0) ** 2
 
-    def tile_render(txy, tfeat, tvalid, px_x, px_y):
-        # px: [P], txy: [K, 2]
+    offs = jnp.arange(Kcap)
+    cap_counts = jnp.minimum(counts, window)
+
+    def gather_pass(p):
+        """Slots [p*Kcap, (p+1)*Kcap) of each tile's z-ascending run."""
+        idx = starts[:, None] + p * Kcap + offs[None, :]      # [T, Kcap]
+        slot_valid = (p * Kcap + offs)[None, :] < cap_counts[:, None]
+        idx = jnp.minimum(idx, s_pid.shape[0] - 1)
+        tile_pid = s_pid[idx]                                 # [T, Kcap]
+        tile_xy = xy[tile_pid]                                # [T, Kcap, 2]
+        tile_feat = jnp.where(slot_valid[..., None],
+                              features[tile_pid], 0.0)        # [T, Kcap, C]
+        return tile_xy, tile_feat, slot_valid
+
+    def tile_render(txy, tfeat, tvalid, px_x, px_y, logt_c, nhit_c):
+        # px: [P], txy: [K, 2]; logt_c/nhit_c: [P] carries from earlier
+        # passes (log transmittance, hits so far)
         dx = (px_x[:, None] - txy[None, :, 0]) / H * 2.0
         dy = (px_y[:, None] - txy[None, :, 1]) / H * 2.0
         dist2 = dx * dx + dy * dy                    # [P, K]
@@ -175,42 +188,69 @@ def render_points(
         d = jnp.clip(0.1 * dist2 / r_ndc2, 1e-3, 1.0)
         alpha = jnp.where(hit, 1.0 - jnp.sqrt(d), 0.0)
         # truncate to the first points_per_pixel hits (z order = list order)
-        nhit = jnp.cumsum(hit.astype(jnp.int32), axis=1)
+        nhit = nhit_c[:, None] + jnp.cumsum(hit.astype(jnp.float32), axis=1)
         alpha = jnp.where(nhit <= points_per_pixel, alpha, 0.0)
-        # over-compositing in z order
-        t_before = jnp.cumprod(1.0 - alpha, axis=1) / jnp.maximum(1.0 - alpha, 1e-8)
+        # over-compositing in z order, continuing the carried transmittance
+        t_before = (
+            jnp.exp(logt_c)[:, None]
+            * jnp.cumprod(1.0 - alpha, axis=1) / jnp.maximum(1.0 - alpha, 1e-8)
+        )
         w = alpha * t_before                          # [P, K]
         img = w @ tfeat                               # [P, C] on the MXU
         acc = jnp.sum(w, axis=1)
-        return img, acc
+        logt_o = logt_c + jnp.sum(jnp.log1p(-alpha), axis=1)
+        nhit_o = nhit[:, -1]
+        return img, acc, logt_o, nhit_o
 
-    if use_pallas:
-        from .pallas.splat import splat_tiles
+    def xla_pass(tile_xy, tile_feat, slot_valid, logt_c, nhit_c):
+        if n_tiles > tile_chunk:
+            # bound live memory: vmap within a chunk, scan across chunks
+            n_chunks = -(-n_tiles // tile_chunk)
+            pad_t = n_chunks * tile_chunk - n_tiles
 
-        imgs, accs = splat_tiles(
-            tile_xy, tile_feat, slot_valid, pix_x, pix_y,
-            r_ndc2, points_per_pixel, 2.0 / H,
-        )
-    elif n_tiles > tile_chunk:
-        # bound live memory: vmap within a chunk, scan across chunks
-        n_chunks = -(-n_tiles // tile_chunk)
-        pad_t = n_chunks * tile_chunk - n_tiles
+            def padt(a):
+                return jnp.pad(
+                    a, [(0, pad_t)] + [(0, 0)] * (a.ndim - 1)
+                ).reshape((n_chunks, tile_chunk) + a.shape[1:])
 
-        def padt(a):
-            return jnp.pad(a, [(0, pad_t)] + [(0, 0)] * (a.ndim - 1)).reshape(
-                (n_chunks, tile_chunk) + a.shape[1:]
+            imgs, accs, logt_o, nhit_o = jax.lax.map(
+                lambda c: jax.vmap(tile_render)(*c),
+                (padt(tile_xy), padt(tile_feat), padt(slot_valid),
+                 padt(pix_x), padt(pix_y), padt(logt_c), padt(nhit_c)),
             )
+            return (imgs.reshape(-1, P, C)[:n_tiles],
+                    accs.reshape(-1, P)[:n_tiles],
+                    logt_o.reshape(-1, P)[:n_tiles],
+                    nhit_o.reshape(-1, P)[:n_tiles])
+        return jax.vmap(tile_render)(tile_xy, tile_feat, slot_valid,
+                                     pix_x, pix_y, logt_c, nhit_c)
 
-        imgs, accs = jax.lax.map(
-            lambda c: jax.vmap(tile_render)(*c),
-            (padt(tile_xy), padt(tile_feat), padt(slot_valid),
-             padt(pix_x), padt(pix_y)),
-        )
-        imgs = imgs.reshape(-1, P, C)[:n_tiles]
-        accs = accs.reshape(-1, P)[:n_tiles]
+    def one_pass(carry, p):
+        img_acc, acc_acc, logt_c, nhit_c = carry
+        tile_xy, tile_feat, slot_valid = gather_pass(p)
+        if use_pallas:
+            from .pallas.splat import splat_tiles
+
+            di, da, logt_c, nhit_c = splat_tiles(
+                tile_xy, tile_feat, slot_valid, pix_x, pix_y,
+                logt_c, nhit_c, r_ndc2, points_per_pixel, 2.0 / H,
+            )
+        else:
+            di, da, logt_c, nhit_c = xla_pass(
+                tile_xy, tile_feat, slot_valid, logt_c, nhit_c)
+        return (img_acc + di, acc_acc + da, logt_c, nhit_c), None
+
+    init = (
+        jnp.zeros((n_tiles, P, C)),
+        jnp.zeros((n_tiles, P)),
+        jnp.zeros((n_tiles, P)),   # log transmittance
+        jnp.zeros((n_tiles, P)),   # hits so far
+    )
+    if n_passes == 1:
+        (imgs, accs, _, _), _ = one_pass(init, jnp.asarray(0))
     else:
-        imgs, accs = jax.vmap(tile_render)(tile_xy, tile_feat, slot_valid,
-                                           pix_x, pix_y)
+        (imgs, accs, _, _), _ = jax.lax.scan(
+            one_pass, init, jnp.arange(n_passes))
     # [T, P, C] -> [H, W, C]
     imgs = imgs.reshape(ty, tx, TILE, TILE, C).transpose(0, 2, 1, 3, 4)
     image = imgs.reshape(H, W, C)
@@ -218,4 +258,47 @@ def render_points(
 
     if bg_features is not None:
         image = image + (1.0 - alpha)[..., None] * bg_features
-    return RasterOut(image=image, alpha=alpha)
+    return RasterOut(image=image, alpha=alpha, dropped=dropped)
+
+
+def suggest_passes(
+    points: "np.ndarray",           # [N, 3] world, host
+    world2cams,                     # iterable of [4, 4] host poses
+    K: "np.ndarray",                # [3, 3]
+    H: int,
+    W: int,
+    radius_px: float = 2.0,
+    tile_capacity: int = 256,
+    margin: float = 1.25,
+    max_passes: int = 8,
+) -> int:
+    """Host-side n_passes sizing: the max (point, corner) slots landing
+    in any tile across the sample poses, with head-room, divided by the
+    capacity. Numpy mirror of the traced binning above — call once at
+    refine setup (vertices are frozen during refine, so per-pose loads
+    only vary with the camera, reference nerf/utils.py:812-813)."""
+    import numpy as np
+
+    Hp = -(-H // TILE) * TILE
+    Wp = -(-W // TILE) * TILE
+    ty, tx = Hp // TILE, Wp // TILE
+    worst = 0
+    corners = np.asarray(
+        [[-radius_px, -radius_px], [radius_px, -radius_px],
+         [-radius_px, radius_px], [radius_px, radius_px]], np.float32)
+    for w2c in world2cams:
+        w2c = np.asarray(w2c, np.float32)
+        cam = points @ w2c[:3, :3].T + w2c[:3, 3]
+        proj = cam @ np.asarray(K, np.float32).T
+        z = proj[:, 2]
+        xy = proj[:, :2] / np.where(np.abs(z[:, None]) < 1e-8, 1e-8,
+                                    z[:, None])
+        cxy = xy[:, None, :] + corners[None]
+        tix = np.floor(cxy[..., 0] / TILE).astype(np.int64)
+        tiy = np.floor(cxy[..., 1] / TILE).astype(np.int64)
+        ok = (tix >= 0) & (tix < tx) & (tiy >= 0) & (tiy < ty) & (z > 1e-6)[:, None]
+        tid = (tiy * tx + tix)[ok]
+        if tid.size:
+            worst = max(worst, int(np.bincount(tid).max()))
+    need = -(-int(worst * margin) // tile_capacity) if worst else 1
+    return max(1, min(need, max_passes))

