@@ -137,6 +137,21 @@ class Config:
     # [7N] batch (see HashGridField.split_probes). Dodges the axon-v5e
     # fused probes+scatter backward fault (round-2 ablation matrix).
     split_probes: bool = False
+    # Run shaded (FD-probe) train steps as two XLA programs: a
+    # froztab-shaped grad program (encode forward + probe backward, no
+    # table scatter) and a scatter+update program (explicit table
+    # gradient via HashGridEncoder.grad_table). The program boundary
+    # keeps the two halves of the v5e-toxic fusion (batched-probe
+    # backward + hash scatter-add) in separate executables
+    # (training/split_step.py). None = auto: on for hash backbones on
+    # TPU, off elsewhere.
+    split_encode: Optional[bool] = None
+    # Rows per table-gradient scatter invocation in the encode split.
+    # One 22M-row scatter program crashes the v5e worker; the same
+    # formulation at <=1.5M rows survives (scripts/probe_scatter.py), so
+    # the scatter runs as K pipelined invocations of one executable.
+    # 0 = default (2^20).
+    scatter_slice_rows: int = 0
     # paths to locally available pretrained weights (no network egress):
     sd_weights: Optional[str] = None
     clip_weights: Optional[str] = None

@@ -108,6 +108,13 @@ def parse_args(argv=None):
                    help="miniature random towers (tests/smoke)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler (xprof) trace of epoch 2 here")
+    p.add_argument("--mesh_data", type=int, default=d.mesh_data,
+                   help="data-parallel devices: rays sharded over a 1-D "
+                        "mesh, state replicated (parallel/mesh.py)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize() "
+                        "before any device use (env-driven coordinator "
+                        "discovery on TPU pods)")
 
     args = p.parse_args(argv)
     kw = {k: v for k, v in vars(args).items()
@@ -145,6 +152,13 @@ def caption_image(image_path: str, blip_weights=None) -> str:
 
 def main(argv=None):
     cfg, args = parse_args(argv)
+    if getattr(args, "distributed", False):
+        # multi-host entry: one process per host, coordinator discovered
+        # from the TPU pod metadata / env (jax handles both). Must run
+        # before any other jax API touches the backend.
+        import jax
+
+        jax.distributed.initialize()
     os.makedirs(cfg.workspace, exist_ok=True)
 
     random.seed(cfg.seed)

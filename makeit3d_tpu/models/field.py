@@ -31,6 +31,35 @@ SHADING_TEXTURELESS = 2
 SHADING_NORMAL = 3
 
 
+def probe_positions(x: jnp.ndarray, eps: float, bound: float) -> list:
+    """[x, x+dx, x-dx, x+dy, x-dy, x+dz, x-dz], each [N, 3], clipped —
+    the center + 6 finite-difference probes (reference:
+    network_tcnn.py:115-130). Shared by the in-module batched eval and
+    the encode-split pipeline so their row orders agree exactly."""
+    parts = [x]
+    for axis in range(3):
+        off = jnp.zeros((1, 3), x.dtype).at[0, axis].set(eps)
+        parts.append(jnp.clip(x + off, -bound, bound))
+        parts.append(jnp.clip(x - off, -bound, bound))
+    return parts
+
+
+def fd_combine(sigma_all: jnp.ndarray, N: int, eps: float):
+    """(sigma [N], normal [N, 3]) from the [7N] probe-ordered sigmas."""
+    sigma = sigma_all[:N]
+    sigma_p = sigma_all[N:].reshape(6, N)
+    normal = -jnp.stack(
+        [
+            0.5 * (sigma_p[0] - sigma_p[1]) / eps,
+            0.5 * (sigma_p[2] - sigma_p[3]) / eps,
+            0.5 * (sigma_p[4] - sigma_p[5]) / eps,
+        ],
+        axis=-1,
+    )
+    normal = safe_normalize(normal)
+    return sigma, jnp.nan_to_num(normal)
+
+
 def safe_normalize(x: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:
     """Unit-normalize with overflow-proof scaling.
 
@@ -121,16 +150,26 @@ class HashGridField(nn.Module):
 
     def common(self, x):
         """x: [N, 3] in [-bound, bound] -> (sigma [N], albedo [N, 3])."""
-        h = (x + self.bound) / (2 * self.bound)
-        h = self.encoder(self.table, h)
-        h = self.sigma_net(h.astype(self.dtype)).astype(jnp.float32)
-        sigma = trunc_exp(h[..., 0] + self.gaussian(x))
-        albedo = jax.nn.sigmoid(h[..., 1:])
-        return sigma, albedo
+        return self.common_from_feats(self.encode(x), x)
 
     def density(self, x):
         sigma, albedo = self.common(x)
         return {"sigma": sigma, "albedo": albedo}
+
+    def common_from_feats(self, feats, x):
+        """MLP head over PRE-COMPUTED hash-encode features (the
+        encode-split pipeline's stage 3, training/split_step.py). x is
+        only consumed by the density-blob bias; no table access here, so
+        this subgraph never contains the hash scatter backward."""
+        h = self.sigma_net(feats.astype(self.dtype)).astype(jnp.float32)
+        sigma = trunc_exp(h[..., 0] + self.gaussian(x))
+        albedo = jax.nn.sigmoid(h[..., 1:])
+        return sigma, albedo
+
+    def encode(self, x):
+        """Hash-encode only: [N, 3] in [-bound, bound] -> [N, L*F]."""
+        h = (x + self.bound) / (2 * self.bound)
+        return self.encoder(self.table, h)
 
     def sigma_albedo_normal(self, x):
         """One batched field eval for center + 6 finite-difference probes.
@@ -146,35 +185,20 @@ class HashGridField(nn.Module):
         """
         N = x.shape[0]
         eps = self.fd_epsilon
-        parts = [x]
-        for axis in range(3):
-            off = jnp.zeros((1, 3), x.dtype).at[0, axis].set(eps)
-            parts.append(jnp.clip(x + off, -self.bound, self.bound))
-            parts.append(jnp.clip(x - off, -self.bound, self.bound))
+        parts = probe_positions(x, eps, self.bound)
         if self.split_probes:
             # 7 separate evals (see the attribute docstring); sigma-only
             # probes still produce albedo, matching the batched path's
             # FLOPs, but each probe's backward is its own chain
             sigma, albedo = self.common(parts[0])
-            sigma_p = jnp.stack(
-                [self.common(p)[0] for p in parts[1:]], axis=0)  # [6, N]
+            sigma_all = jnp.concatenate(
+                [sigma] + [self.common(p)[0] for p in parts[1:]], axis=0)
         else:
             allx = jnp.concatenate(parts, axis=0)  # [7N, 3]
-            sigma_all, albedo_all = self.common(allx)
-            sigma = sigma_all[:N]
-            albedo = albedo_all[:N]
             # probe k occupies rows [(k+1)N, (k+2)N): +x,-x,+y,-y,+z,-z
-            sigma_p = sigma_all[N:].reshape(6, N)
-        normal = -jnp.stack(
-            [
-                0.5 * (sigma_p[0] - sigma_p[1]) / eps,
-                0.5 * (sigma_p[2] - sigma_p[3]) / eps,
-                0.5 * (sigma_p[4] - sigma_p[5]) / eps,
-            ],
-            axis=-1,
-        )
-        normal = safe_normalize(normal)
-        normal = jnp.nan_to_num(normal)
+            sigma_all, albedo_all = self.common(allx)
+            albedo = albedo_all[:N]
+        sigma, normal = fd_combine(sigma_all, N, eps)
         return sigma, albedo, normal
 
     def normal(self, x):
@@ -442,6 +466,108 @@ def sigma_albedo_normal_chunked(field, variables, x, chunk: int = 1 << 17):
         albedo.reshape(-1, albedo.shape[-1])[:M],
         normal.reshape(-1, 3)[:M],
     )
+
+
+def _chunked_cff_vjp(field: nn.Module, n_chunks: int, chunk: int, F: int):
+    """Chunked common_from_feats with a froztab-shaped custom VJP.
+
+    Differentiable in (variables, feats): the forward lax.maps MLP-head
+    chunks; the backward replays each chunk's jax.vjp from (feats,
+    positions) residuals, accumulating param cotangents in a scan carry
+    and emitting per-chunk feature cotangents as stacked scan outputs.
+    No hash-table access anywhere in this graph — the encode-split
+    pipeline's stage 3 (training/split_step.py), which is exactly the
+    program shape that survived the axon-v5e fault ablations
+    (scripts/ablate128.py: froztab)."""
+
+    def eval_fn(variables, fp, xp):
+        def body(c):
+            return field.apply(variables, c[0], c[1],
+                               method="common_from_feats")
+
+        return jax.lax.map(
+            body, (fp.reshape(n_chunks, chunk, F),
+                   xp.reshape(n_chunks, chunk, 3))
+        )
+
+    @jax.custom_vjp
+    def f(variables, fp, xp):
+        return eval_fn(variables, fp, xp)
+
+    def fwd(variables, fp, xp):
+        return eval_fn(variables, fp, xp), (variables, fp, xp)
+
+    def bwd(res, cts):
+        variables, fp, xp = res
+        ct_sigma, ct_albedo = cts
+
+        def chunk_grad(carry, inp):
+            ff, xx, cs, ca = inp
+
+            def one(v, f_):
+                return field.apply(v, f_, xx, method="common_from_feats")
+
+            _, vjp_fn = jax.vjp(one, variables, ff)
+            dv, df = vjp_fn((cs, ca))
+            return jax.tree.map(jnp.add, carry, dv), df
+
+        zero = jax.tree.map(jnp.zeros_like, variables)
+        dvars, dfeats = jax.lax.scan(
+            chunk_grad, zero,
+            (fp.reshape(n_chunks, chunk, F), xp.reshape(n_chunks, chunk, 3),
+             ct_sigma, ct_albedo),
+        )
+        return dvars, dfeats.reshape(fp.shape), jnp.zeros_like(xp)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def common_from_feats_chunked(field, variables, feats, pos,
+                              chunk: int = 1 << 17):
+    """(sigma [P], albedo [P, 3]) over pre-encoded features, chunked."""
+    P, F = feats.shape
+    if P <= chunk:
+        return field.apply(variables, feats, pos, method="common_from_feats")
+    n_chunks = -(-P // chunk)
+    pad = n_chunks * chunk - P
+    fp = jnp.pad(feats, ((0, pad), (0, 0)))
+    xp = jnp.pad(pos, ((0, pad), (0, 0)))
+    f = _chunked_cff_vjp(field, n_chunks, chunk, F)
+    sigma, albedo = f(variables, fp, xp)
+    return sigma.reshape(-1)[:P], albedo.reshape(-1, 3)[:P]
+
+
+def make_split_evals(field, variables, feats, positions, M: int,
+                     light_d_ratio_shading, chunk: int = 1 << 17,
+                     compute_smooth: bool = True):
+    """(field_eval, smooth_eval) closures for render_occupancy, consuming
+    pre-encoded features (training/split_step.py stage 3).
+
+    positions/feats rows are ordered [7M main probes | 7M smooth probes]
+    (probe_positions order within each block). light_d_ratio_shading =
+    (ratio, shading_mode); light_d arrives from render_occupancy."""
+    ratio, shading_mode = light_d_ratio_shading
+    eps = field.fd_epsilon
+
+    def field_eval(flat_x, flat_d, light_d):
+        sig_all, alb_all = common_from_feats_chunked(
+            field, variables, feats[: 7 * M], positions[: 7 * M],
+            chunk=chunk)
+        sigma, normal = fd_combine(sig_all, M, eps)
+        albedo = alb_all[:M]
+        color = _shade(albedo, normal, light_d, ratio, shading_mode,
+                       field.lambert_min)
+        return sigma, color, normal
+
+    def smooth_eval(flat_x):
+        sig_all, _ = common_from_feats_chunked(
+            field, variables, feats[7 * M:], positions[7 * M:],
+            chunk=chunk)
+        _, normal = fd_combine(sig_all, M, eps)
+        return normal
+
+    return field_eval, (smooth_eval if compute_smooth else None)
 
 
 def make_field(cfg) -> nn.Module:

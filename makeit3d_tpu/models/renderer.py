@@ -90,8 +90,18 @@ def render_occupancy(
     depth_scale: Optional[jnp.ndarray] = None,
     marched: Optional["MarchedRays"] = None,
     shaded: bool = True,
+    field_eval=None,
+    smooth_eval=None,
 ) -> Dict[str, jnp.ndarray]:
     """`marched`: optionally consume pre-marched samples (see march_stage).
+
+    `field_eval` / `smooth_eval`: optional overrides for the field
+    application — (flat_x, flat_d) -> (sigmas, rgbs, normals) and
+    (flat_x_perturbed) -> normals respectively. The encode-split
+    pipeline (training/split_step.py) injects evaluators that consume
+    pre-computed hash features so this program never contains the
+    hash-table scatter backward (the axon-v5e fault trigger,
+    docs/TPU_NOTES.md).
 
     `shaded` (STATIC): False compiles the reference's albedo-mode program
     (network_tcnn.py:141-144) — no finite-difference normal probes (7x
@@ -124,11 +134,14 @@ def render_occupancy(
 
     flat_x = m.xyzs.reshape(-1, 3)
     flat_d = m.dirs.reshape(-1, 3)
-    sigmas, rgbs, normals = apply_field_chunked(
-        field, variables, flat_x, flat_d,
-        light_d=light_d, ratio=ambient_ratio, shading_mode=shading_mode,
-        chunk=s.field_chunk, shaded=shaded,
-    )
+    if field_eval is not None:
+        sigmas, rgbs, normals = field_eval(flat_x, flat_d, light_d)
+    else:
+        sigmas, rgbs, normals = apply_field_chunked(
+            field, variables, flat_x, flat_d,
+            light_d=light_d, ratio=ambient_ratio, shading_mode=shading_mode,
+            chunk=s.field_chunk, shaded=shaded,
+        )
     S = s.n_samples
     sigmas = sigmas.reshape(N, S)
     rgbs = rgbs.reshape(N, S, 3)
@@ -170,10 +183,14 @@ def render_occupancy(
 
         if s.compute_smooth:
             # surface-normal smoothness (reference: renderer.py:521-524)
-            noise = jax.random.normal(k_smooth, flat_x.shape) * s.smooth_sigma
-            _, _, normals_perturb = sigma_albedo_normal_chunked(
-                field, variables, flat_x + noise, chunk=s.field_chunk
-            )
+            if smooth_eval is not None:
+                normals_perturb = smooth_eval(flat_x)
+            else:
+                noise = (jax.random.normal(k_smooth, flat_x.shape)
+                         * s.smooth_sigma)
+                _, _, normals_perturb = sigma_albedo_normal_chunked(
+                    field, variables, flat_x + noise, chunk=s.field_chunk
+                )
             diff = jnp.abs(normals - normals_perturb.reshape(N, S, 3))
             diff = jnp.where(m.valid[..., None], diff, 0.0)
             results["loss_smooth"] = jnp.sum(diff) / (nvalid * 3)

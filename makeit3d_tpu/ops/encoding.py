@@ -136,6 +136,72 @@ class HashGridEncoder:
         # feats: [L, N, F] -> [N, L*F]
         return jnp.moveaxis(feats, 0, 1).reshape(x.shape[0], -1)
 
+    def grad_table(self, x: jnp.ndarray, dfeat: jnp.ndarray,
+                   chunk: int = 1 << 17,
+                   index_dtype=None) -> jnp.ndarray:
+        """Explicit d(features)/d(table)^T @ dfeat — the hash-table
+        cotangent as its own computation.
+
+        x: [N, 3] in [0, 1]; dfeat: [N, L*F] feature cotangents ->
+        [L, T, F] table gradient. The math is exactly what autodiff of
+        __call__ produces (trilinear-weighted scatter-add per corner per
+        level); having it as a standalone function lets the encode-split
+        training pipeline (training/split_step.py) run the scatter in its
+        own XLA program, away from the probe-backward fusion that faults
+        the axon v5e (docs/TPU_NOTES.md). Chunked over N with the table
+        gradient as the scan carry."""
+        N = x.shape[0]
+        resolutions = jnp.asarray(self.resolutions, jnp.float32)  # [L]
+        tsize = jnp.uint32(self.table_size)
+        dtype = dfeat.dtype
+        n_chunks = max(-(-N // chunk), 1)
+        pad = n_chunks * chunk - N
+        xp = jnp.pad(x, ((0, pad), (0, 0)))
+        # padded rows carry zero cotangent -> no spurious contributions
+        dp = jnp.pad(dfeat, ((0, pad), (0, 0)))
+        # [Np, L*F] -> [n_chunks, L, chunk, F]
+        dp = jnp.moveaxis(
+            dp.reshape(n_chunks, chunk, self.n_levels, self.n_features),
+            2, 1,
+        )
+        xp = xp.reshape(n_chunks, chunk, 3)
+
+        def chunk_body(gtab, inp):
+            xx, dd = inp  # [chunk, 3], [L, chunk, F]
+
+            def level_fn(carry, level_in):
+                res, dlev, gl = level_in  # scalar, [chunk, F], [T, F]
+                xs = xx * res
+                x0f = jnp.floor(xs)
+                w = xs - x0f
+                x0 = jnp.asarray(x0f, jnp.uint32)
+                for c in range(8):
+                    ox, oy, oz = c & 1, (c >> 1) & 1, (c >> 2) & 1
+                    h = (x0[:, 0] + jnp.uint32(ox)) * jnp.uint32(_PRIMES[0])
+                    h = h ^ ((x0[:, 1] + jnp.uint32(oy))
+                             * jnp.uint32(_PRIMES[1]))
+                    h = h ^ ((x0[:, 2] + jnp.uint32(oz))
+                             * jnp.uint32(_PRIMES[2]))
+                    idx = h % tsize
+                    if index_dtype is not None:
+                        idx = idx.astype(index_dtype)
+                    wc = (
+                        (w[:, 0] if ox else 1.0 - w[:, 0])
+                        * (w[:, 1] if oy else 1.0 - w[:, 1])
+                        * (w[:, 2] if oz else 1.0 - w[:, 2])
+                    )
+                    gl = gl.at[idx].add(dlev * wc[:, None].astype(dtype))
+                return carry, gl
+
+            _, gtab = jax.lax.scan(
+                level_fn, None, (resolutions, dd, gtab))
+            return gtab, None
+
+        gtab0 = jnp.zeros(
+            (self.n_levels, self.table_size, self.n_features), dtype)
+        gtab, _ = jax.lax.scan(chunk_body, gtab0, (xp, dp))
+        return gtab
+
 
 class SHEncoder:
     """Real spherical-harmonics direction encoding up to degree 4.

@@ -30,18 +30,20 @@ def make_mesh(n_data: Optional[int] = None) -> Mesh:
     return Mesh(np.asarray(devs[:n]), ("data",))
 
 
-def batch_shardings(mesh: Mesh, batch: Dict) -> Dict:
+def batch_shardings(mesh: Mesh, batch) -> Dict:
     """Shard per-ray arrays over "data"; replicate scalars and reference
-    images (they are small and read by every device)."""
+    images (they are small and read by every device).
+
+    `batch`: the batch dict itself OR just its key names (the Trainer
+    builds shardings at jit-construction time, before any batch exists).
+    """
     sharded = NamedSharding(mesh, P("data"))
     replicated = NamedSharding(mesh, P())
-    out = {}
-    for k, v in batch.items():
-        if k in ("rays_o", "rays_d", "depth_scale"):
-            out[k] = sharded
-        else:
-            out[k] = replicated
-    return out
+    keys = batch.keys() if hasattr(batch, "keys") else batch
+    return {
+        k: sharded if k in ("rays_o", "rays_d", "depth_scale") else replicated
+        for k in keys
+    }
 
 
 def shard_train_step(step_fn, mesh: Mesh, batch: Dict):

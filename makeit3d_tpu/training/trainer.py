@@ -31,7 +31,13 @@ import numpy as np
 
 from ..cameras import ViewSampler
 from ..config import Config
-from ..models.field import make_field, SHADING_ALBEDO, SHADING_LAMBERTIAN, SHADING_TEXTURELESS
+from ..models.field import (
+    HashGridField,
+    make_field,
+    SHADING_ALBEDO,
+    SHADING_LAMBERTIAN,
+    SHADING_TEXTURELESS,
+)
 from ..models.renderer import (
     RenderSettings,
     march_stage,
@@ -75,10 +81,27 @@ def build_loss_fn(cfg, field, settings, guidance, is_front: bool,
     losses remain on novel views (utils.py:561-563 run unconditionally).
     """
 
-    def loss_and_metrics(params, grid, key, batch, marched=None):
+    def loss_and_metrics(params, grid, key, batch, marched=None,
+                         feats=None, positions=None):
         H, W = cfg.h, cfg.w
         k_render, k_bg, k_guide = jax.random.split(key, 3)
         bg_color = jax.random.uniform(k_bg, (3,))
+
+        field_eval = smooth_eval = None
+        if feats is not None:
+            # encode-split stage 3: the field runs over pre-encoded hash
+            # features; this program never touches the table
+            # (training/split_step.py)
+            from ..models.field import make_split_evals
+
+            field_eval, smooth_eval = make_split_evals(
+                field, params, feats, positions,
+                M=H * W * settings.n_samples,
+                light_d_ratio_shading=(batch["ambient_ratio"],
+                                       batch["shading_mode"]),
+                chunk=settings.field_chunk,
+                compute_smooth=settings.compute_smooth,
+            )
 
         out = render_occupancy(
             field, params, grid,
@@ -91,6 +114,8 @@ def build_loss_fn(cfg, field, settings, guidance, is_front: bool,
             depth_scale=batch["depth_scale"],
             marched=marched,
             shaded=shaded,
+            field_eval=field_eval,
+            smooth_eval=smooth_eval,
         )
         pred_rgb = out["image"].reshape(H, W, 3)
         pred_depth = out["depth"].reshape(H, W)
@@ -241,6 +266,61 @@ def make_train_step(cfg, field, optimizer, settings, guidance,
     return stepped
 
 
+def resolve_split_encode(cfg, field) -> bool:
+    """Whether shaded steps run as the two-program encode split
+    (training/split_step.py). None = auto: on for hash backbones on a
+    TPU backend (the v5e fused-backward fault workaround), off on
+    CPU/GPU where it is pointless overhead."""
+    split_enc = cfg.split_encode
+    if split_enc is None:
+        split_enc = jax.default_backend() == "tpu"
+    return bool(split_enc) and isinstance(field, HashGridField)
+
+
+# batch keys Trainer.step() constructs — the sharding specs for the
+# multi-chip jit are derived from these at build time
+BATCH_KEYS = (
+    "rays_o", "rays_d", "depth_scale", "ref_rgba", "ref_depth",
+    "obj_mask", "is_large", "diff_phase", "shading_mode", "ambient_ratio",
+)
+GUIDANCE_BATCH_KEYS = ("text_z", "text_z_clip", "gparams")
+
+
+def make_step_variant(cfg, field, optimizer, settings, guidance, *,
+                      is_front: bool, shaded: bool, with_sds: bool = True,
+                      salt: int = 0, mesh=None):
+    """One train-step program variant with the production program-
+    partitioning choice applied (fused single program vs encode split).
+    Shared by Trainer._build_jits and bench.py so the bench measures
+    exactly the programs training runs.
+
+    `mesh`: a jax.sharding.Mesh for data-parallel training (rays sharded
+    over the "data" axis, state replicated; SURVEY.md §2.3). The sharded
+    path always uses the fused single-program step: sharding is for real
+    multi-chip topologies, not the single-chip axon relay whose codegen
+    fault the encode split works around.
+    """
+    if mesh is not None:
+        from ..parallel.mesh import shard_train_step
+
+        raw = build_train_step(
+            cfg, field, optimizer, settings, guidance, is_front=is_front,
+            salt=salt, shaded=shaded, with_sds=with_sds)
+        keys = BATCH_KEYS + (
+            GUIDANCE_BATCH_KEYS if guidance is not None else ())
+        fn, _ = shard_train_step(raw, mesh, keys)
+        return fn
+    if shaded and resolve_split_encode(cfg, field):
+        from .split_step import make_split_encode_step
+
+        return make_split_encode_step(
+            cfg, field, optimizer, settings, guidance,
+            is_front=is_front, salt=salt, with_sds=with_sds)
+    return make_train_step(
+        cfg, field, optimizer, settings, guidance, is_front=is_front,
+        salt=salt, shaded=shaded, with_sds=with_sds)
+
+
 class Trainer:
     def __init__(
         self,
@@ -278,6 +358,23 @@ class Trainer:
         self.grid = init_density_grid(cfg.cascade, cfg.grid_size)
         self.settings_train = RenderSettings.from_config(cfg, training=True)
         self.settings_eval = RenderSettings.from_config(cfg, training=False)
+
+        # data-parallel device mesh (SURVEY.md §2.3): rays sharded over
+        # "data", state replicated; XLA emits the grad psum over ICI.
+        # The reference's analogue is its never-activated DDP wrap
+        # (nerf/utils.py:255-264).
+        self.mesh = None
+        if cfg.mesh_data > 1:
+            from ..parallel.mesh import make_mesh
+
+            if (cfg.h * cfg.w) % cfg.mesh_data:
+                raise ValueError(
+                    f"h*w={cfg.h * cfg.w} not divisible by "
+                    f"mesh_data={cfg.mesh_data}")
+            self.mesh = make_mesh(cfg.mesh_data)
+            self.ws.log(
+                f"[INFO] data-parallel mesh over "
+                f"{cfg.mesh_data} devices: {self.mesh}")
 
         # model EMA mirror (reference: utils.py:304-307 torch_ema;
         # updated per step at utils.py:1006-1007, swapped in around
@@ -353,10 +450,11 @@ class Trainer:
         # (utils.py:512-517). jit is lazy, so only the variants a run
         # actually reaches are ever compiled.
         self._train_step = {
-            (front, shaded, with_sds): make_train_step(
+            (front, shaded, with_sds): make_step_variant(
                 cfg, self.field, self.optimizer, self.settings_train,
-                self.guidance, is_front=front, salt=self._compile_salt,
-                shaded=shaded, with_sds=with_sds)
+                self.guidance, is_front=front, shaded=shaded,
+                with_sds=with_sds, salt=self._compile_salt,
+                mesh=self.mesh)
             for front, shaded in ((True, False), (False, False),
                                   (False, True))
             for with_sds in ((False, True) if self.guidance is not None
@@ -388,6 +486,39 @@ class Trainer:
             )
 
         self._render_chunk = render_chunk
+
+        @functools.partial(jax.jit,
+                           static_argnames=("n_chunks", "n_samples"))
+        def render_chunks_scan(params, grid, rays_o, rays_d, key, bg_color,
+                               depth_scale, n_chunks, n_samples=None):
+            """Full-image eval render as ONE program: lax.scan over ray
+            chunks instead of n_chunks sequential host dispatches. An
+            800x800 orbit frame was 157 round-trips through the
+            high-latency axon relay with per-chunk D2H syncs; this is
+            one dispatch and one transfer (VERDICT round-1 item 9).
+            rays_*: [n_chunks, B, 3]; returns stacked [n_chunks, B, ...]."""
+            s = self.settings_eval
+            if n_samples is not None:
+                import dataclasses as _dc
+                s = _dc.replace(s, n_samples=n_samples)
+
+            def body(_, inp):
+                ro, rd, ds = inp
+                out = render_occupancy(
+                    self.field, params, grid, ro, rd, s, key,
+                    training=False, shading_mode=SHADING_ALBEDO,
+                    ambient_ratio=1.0, bg_color=bg_color, perturb=False,
+                    depth_scale=ds,
+                )
+                keep = {k: out[k] for k in
+                        ("image", "depth", "weights_sum", "normal")}
+                return _, keep
+
+            _, outs = jax.lax.scan(
+                body, None, (rays_o, rays_d, depth_scale))
+            return outs
+
+        self._render_chunks_scan = render_chunks_scan
 
     # ------------------------------------------------------------------
     def _prep_ref(self, ref_rgba, ref_depth, ref_mask):
@@ -690,14 +821,23 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def render_image(self, view, bg_color=1.0, n_samples=None):
-        """Staged full-image render (reference: renderer.py:655-668)."""
+        """Staged full-image render (reference: renderer.py:655-668).
+
+        One jitted program (lax.scan over ray chunks) + one D2H
+        transfer, instead of one dispatch + sync per chunk — an 800x800
+        frame was 157 sequential relay round-trips (VERDICT item 9)."""
         cfg = self.cfg
         H, W = view.H, view.W
         rays_o = view.rays_o.reshape(-1, 3)
         rays_d = view.rays_d.reshape(-1, 3)
         depth_scale = view.depth_scale.reshape(-1)
-        chunks = []
         B = cfg.max_ray_batch
+        n_chunks = -(-H * W // B)
+        pad = n_chunks * B - H * W
+        ro = np.pad(rays_o, ((0, pad), (0, 0))).reshape(n_chunks, B, 3)
+        rd = np.pad(rays_d, ((0, pad), (0, 0)),
+                    constant_values=1.0).reshape(n_chunks, B, 3)
+        ds = np.pad(depth_scale, (0, pad)).reshape(n_chunks, B)
         # gen-guarded key advance: render_image runs under the watchdog
         # from evaluate()/test(); a zombie thread must not overwrite the
         # key restored by _recover_from_fault (same discipline as step()).
@@ -708,26 +848,13 @@ class Trainer:
                 "stale render discarded (state restored mid-flight)")
         self.key = key
         bg = jnp.asarray(np.broadcast_to(bg_color, (3,)), jnp.float32)
-        for head in range(0, H * W, B):
-            tail = min(head + B, H * W)
-            ro = jnp.asarray(rays_o[head:tail])
-            rd = jnp.asarray(rays_d[head:tail])
-            ds = jnp.asarray(depth_scale[head:tail])
-            pad = B - (tail - head)
-            if pad:
-                ro = jnp.pad(ro, ((0, pad), (0, 0)))
-                rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
-                ds = jnp.pad(ds, (0, pad))
-            out = self._render_chunk(
-                self.params, self.grid, ro, rd, k, bg, ds,
-                n_samples=n_samples,
-            )
-            chunks.append({k2: np.asarray(v)[: tail - head] for k2, v in out.items()
-                           if k2 in ("image", "depth", "weights_sum", "normal")})
-        res = {
-            k2: np.concatenate([c[k2] for c in chunks], axis=0)
-            for k2 in chunks[0]
-        }
+        outs = self._render_chunks_scan(
+            self.params, self.grid, jnp.asarray(ro), jnp.asarray(rd),
+            k, bg, jnp.asarray(ds), n_chunks=n_chunks,
+            n_samples=n_samples,
+        )
+        res = {k2: np.asarray(v).reshape(n_chunks * B, *v.shape[2:])[: H * W]
+               for k2, v in outs.items()}
         res["image"] = res["image"].reshape(H, W, 3)
         res["depth"] = res["depth"].reshape(H, W)
         res["weights_sum"] = res["weights_sum"].reshape(H, W)

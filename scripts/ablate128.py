@@ -10,10 +10,15 @@ checkpoint (the faulting data regime) with no recovery. Variants:
   splitprobe -- shaded, FD probes as 7 separate field evals
                 (cfg.split_probes; 7 independent gather->MLP->scatter
                 backward chains instead of one fused [7N] chain)
+  encsplit   -- shaded via the two-program encode-split pipeline
+                (cfg.split_encode; training/split_step.py): froztab-
+                shaped grad program + separate scatter/update program
 
 Round-2 results (v5e, teddy ep10 ckpt): full faults at step 1, shaded
-faults at step 1, albedo survives 75+, froztab survives 50 -> the fault
-is the batched-probe backward FUSED with the hash-table scatter-add.
+faults at step 1, splitprobe faults at step 1, albedo survives 75+,
+froztab survives 50 -> the fault is the batched-probe backward FUSED
+with the hash-table scatter-add. encsplit is the production fix built
+on that finding.
 
 Usage: python scripts/ablate128.py VARIANT [n_steps] [h]
 """
@@ -41,7 +46,8 @@ def main():
     albedo_iters = 10**9 if variant == "albedo" else 0
     cfg = Config(h=h, w=h, guidance="none", workspace="results",
                  albedo_iters=albedo_iters, iters=10**9,
-                 split_probes=(variant == "splitprobe"))
+                 split_probes=(variant == "splitprobe"),
+                 split_encode=(variant == "encsplit"))
     print(f"[{variant}] building trainer ...", flush=True)
     t0 = time.time()
     tr = Trainer(cfg, name=f"repro_{variant}",
@@ -81,7 +87,7 @@ def main():
                         (False, True, False))
         }
 
-    if variant in ("shaded", "froztab", "splitprobe"):
+    if variant in ("shaded", "froztab", "splitprobe", "encsplit"):
         # force the shaded program on every novel step
         tr._host_rng = type("R", (), {"random": staticmethod(lambda: 0.45)})()
 
