@@ -91,54 +91,19 @@ def bake_texture(
     tex_size: int = 2048,
     chunk: int = 640_000,
 ):
-    """Rasterize the atlas analytically and bake albedo.
+    """Rasterize the atlas and bake albedo.
 
-    For every texel, the owning triangle + barycentric coords follow
-    from the closed-form packing; surface positions batch through
+    Works for ANY non-overlapping per-face UV layout (the chart atlas or
+    the legacy per-triangle grid) via the bucketed vectorized rasterizer
+    (uv_unwrap.rasterize_atlas); surface positions batch through
     albedo_fn in 640k-point chunks (reference: renderer.py:249-254).
     """
-    T = len(tris)
-    cells = math.ceil(math.sqrt(max(T, 1) / 2))
-    cell_px = tex_size / cells
+    from .uv_unwrap import rasterize_atlas
 
-    yy, xx = np.mgrid[0:tex_size, 0:tex_size]
-    u = (xx + 0.5) / tex_size
-    v = (yy + 0.5) / tex_size
-    ci = np.minimum((u * cells).astype(np.int64), cells - 1)
-    cj = np.minimum((v * cells).astype(np.int64), cells - 1)
-    cell_idx = cj * cells + ci
-    # local coords within cell
-    lu = u * cells - ci
-    lv = v * cells - cj
-    lower = (lu + lv) <= 1.0
-    tri_idx = cell_idx * 2 + (~lower).astype(np.int64)
-    valid = tri_idx < T
-
-    # barycentric coords w.r.t. each triangle's uv corners
-    tri_idx_c = np.where(valid, tri_idx, 0)
-    corners = ft_uv[tri_idx_c]  # [H, W, 3, 2]
-    a, b, c = corners[..., 0, :], corners[..., 1, :], corners[..., 2, :]
-    p = np.stack([u, v], axis=-1)
-    v0 = b - a
-    v1 = c - a
-    v2 = p - a
-    d00 = np.einsum("...i,...i", v0, v0)
-    d01 = np.einsum("...i,...i", v0, v1)
-    d11 = np.einsum("...i,...i", v1, v1)
-    d20 = np.einsum("...i,...i", v2, v0)
-    d21 = np.einsum("...i,...i", v2, v1)
-    denom = d00 * d11 - d01 * d01
-    denom = np.where(np.abs(denom) < 1e-12, 1e-12, denom)
-    w1 = (d11 * d20 - d01 * d21) / denom
-    w2 = (d00 * d21 - d01 * d20) / denom
-    w0 = 1.0 - w1 - w2
-    inside = valid & (w0 >= -0.01) & (w1 >= -0.01) & (w2 >= -0.01)
-    w0c, w1c, w2c = np.clip(w0, 0, 1), np.clip(w1, 0, 1), np.clip(w2, 0, 1)
-
+    tri_idx, bary, inside = rasterize_atlas(ft_uv, tex_size)
+    tri_idx_c = np.where(inside, tri_idx, 0)
     tv = verts[tris[tri_idx_c]]  # [H, W, 3, 3]
-    pos = (w0c[..., None] * tv[..., 0, :]
-           + w1c[..., None] * tv[..., 1, :]
-           + w2c[..., None] * tv[..., 2, :])
+    pos = np.einsum("hwc,hwcs->hws", bary, tv)
 
     tex = np.zeros((tex_size, tex_size, 3), np.float32)
     flat_pos = pos.reshape(-1, 3)
@@ -210,13 +175,23 @@ def write_obj(path_dir: str, name: str, verts: np.ndarray, tris: np.ndarray,
 def export_textured_mesh(
     density_fn, albedo_fn, save_dir: str, resolution: int = 256,
     threshold: float = 10.0, bound: float = 1.0, tex_size: int = 2048,
-    name: str = "",
+    name: str = "", unwrap_mode: str = "charts",
 ):
-    """Full export pipeline (reference: export_mesh, renderer.py:156-330)."""
+    """Full export pipeline (reference: export_mesh, renderer.py:156-330).
+
+    unwrap_mode: "charts" = normal-cone chart atlas (xatlas-equivalent,
+    utils/uv_unwrap.py — continuous texture inside each chart); "grid" =
+    the per-triangle uniform packing (seam on every edge, but fully
+    deterministic and degenerate-proof)."""
     verts, tris, _ = extract_mesh(density_fn, resolution, threshold, bound)
     if len(tris) == 0:
         raise ValueError("empty isosurface; check density threshold")
-    ft_uv = pack_uv_atlas(len(tris))
+    if unwrap_mode == "charts":
+        from .uv_unwrap import unwrap
+
+        ft_uv = unwrap(verts, tris, tex_size)
+    else:
+        ft_uv = pack_uv_atlas(len(tris))
     tex, _ = bake_texture(verts, tris, ft_uv, albedo_fn, tex_size)
     write_obj(save_dir, name, verts, tris, ft_uv, tex)
     return verts, tris

@@ -1,0 +1,278 @@
+"""Chart-based UV unwrapping + atlas packing + vectorized rasterization.
+
+Replaces the per-triangle uniform atlas of utils/mesh_export.py with an
+xatlas-equivalent pipeline (reference: nerf/renderer.py:199-287, which
+calls xatlas for the unwrap and nvdiffrast-CUDA for the atlas raster):
+
+  1. grow_charts   — greedy normal-cone region growing over the face
+                     adjacency graph: every chart's faces stay within
+                     `cone_deg` of the seed normal, so the planar
+                     projection in (2) is injective (no flipped or
+                     degenerate UV triangles) and distortion is bounded
+                     by cos(cone_deg).
+  2. flatten_charts— orthographic projection of each chart onto the
+                     plane orthogonal to its seed normal (xatlas uses
+                     LSCM; the normal-cone bound makes the cheap planar
+                     map adequate, area distortion <= 1/cos(cone) = 2x
+                     at the default 60 degrees).
+  3. pack_charts   — shelf packing of chart bounding rects at a single
+                     global texel density (uniform texels/world-area
+                     across charts), margin in texels, shrink-and-retry
+                     until everything fits.
+  4. rasterize_atlas — texel -> (triangle, barycentric) maps for ANY
+                     per-face UV layout, fully vectorized: triangles are
+                     bucketed by bbox size class and each bucket is
+                     tested against its candidate texel grids in one
+                     broadcast barycentric evaluation (no Python loop
+                     over triangles — the host-side analogue of what
+                     nvdiffrast does on GPU).
+
+Charts of adjacent coplanar-ish faces mean interior texture is
+continuous (mip/bilinear friendly) and seams only at chart borders —
+the round-1 per-triangle packing had a seam on EVERY edge.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+def face_normals(verts: np.ndarray, tris: np.ndarray) -> np.ndarray:
+    """Unit face normals [T, 3] (zero-area faces get an arbitrary axis)."""
+    a = verts[tris[:, 0]]
+    n = np.cross(verts[tris[:, 1]] - a, verts[tris[:, 2]] - a)
+    ln = np.linalg.norm(n, axis=-1, keepdims=True)
+    bad = ln[:, 0] < 1e-20
+    n[bad] = (0.0, 0.0, 1.0)
+    ln[bad] = 1.0
+    return n / ln
+
+
+def build_adjacency(tris: np.ndarray) -> np.ndarray:
+    """Edge-adjacent neighbor faces, [T, 3] int64 (-1 = boundary edge).
+
+    Column e is the face sharing edge (corner e, corner e+1). Non-manifold
+    edges (3+ faces) pair the first two and leave the rest open.
+    """
+    T = len(tris)
+    edges = np.stack(
+        [tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]], axis=1
+    ).reshape(-1, 2)  # [3T, 2] in face-major, edge-minor order
+    lo = edges.min(axis=1).astype(np.int64)
+    hi = edges.max(axis=1).astype(np.int64)
+    packed = lo * (int(tris.max()) + 2) + hi  # collision-free scalar key
+    order = np.argsort(packed, kind="stable")
+    sp = packed[order]
+    # group starts/counts over the sorted keys; pair the FIRST TWO edge
+    # instances of every key with >= 2 faces (non-manifold extras open)
+    start = np.nonzero(np.concatenate([[True], sp[1:] != sp[:-1]]))[0]
+    count = np.diff(np.concatenate([start, [len(sp)]]))
+    has2 = start[count >= 2]
+    e0 = order[has2]
+    e1 = order[has2 + 1]
+    adj = np.full(3 * T, -1, np.int64)
+    adj[e0] = e1 // 3
+    adj[e1] = e0 // 3
+    return adj.reshape(T, 3)
+
+
+def grow_charts(
+    verts: np.ndarray, tris: np.ndarray, cone_deg: float = 60.0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Greedy BFS region growing under a normal-cone constraint.
+
+    Returns (chart_id [T] int64, seed_normal [C, 3]). Seeds are taken in
+    descending face-area order so large flat regions anchor charts.
+    """
+    T = len(tris)
+    normals = face_normals(verts, tris)
+    adj = build_adjacency(tris)
+    cos_lim = math.cos(math.radians(cone_deg))
+
+    a = verts[tris[:, 0]]
+    area2 = np.linalg.norm(
+        np.cross(verts[tris[:, 1]] - a, verts[tris[:, 2]] - a), axis=-1)
+    seed_order = np.argsort(-area2)
+
+    chart_id = np.full(T, -1, np.int64)
+    seeds = []
+    for s in seed_order:
+        if chart_id[s] >= 0:
+            continue
+        cid = len(seeds)
+        ns = normals[s]
+        seeds.append(ns)
+        chart_id[s] = cid
+        frontier = np.asarray([s])
+        while len(frontier):  # whole-frontier expansion, no per-face loop
+            nbr = adj[frontier].ravel()
+            nbr = nbr[nbr >= 0]
+            nbr = nbr[chart_id[nbr] < 0]
+            nbr = np.unique(nbr[normals[nbr] @ ns >= cos_lim])
+            chart_id[nbr] = cid
+            frontier = nbr
+    return chart_id, np.asarray(seeds, np.float64)
+
+
+def flatten_charts(
+    verts: np.ndarray, tris: np.ndarray, chart_id: np.ndarray,
+    seed_normals: np.ndarray,
+) -> np.ndarray:
+    """Per-face-corner planar UVs [T, 3, 2] in WORLD units (unpacked).
+
+    Each chart projects onto an orthonormal basis of the plane normal to
+    its seed normal; the normal-cone bound from grow_charts guarantees
+    every face has positive signed area in this projection.
+    """
+    n = seed_normals  # [C, 3]
+    # a stable tangent: cross with the axis least aligned with n
+    alt = np.zeros_like(n)
+    alt[np.arange(len(n)), np.argmin(np.abs(n), axis=1)] = 1.0
+    u = np.cross(n, alt)
+    u /= np.linalg.norm(u, axis=-1, keepdims=True)
+    v = np.cross(n, u)
+
+    cu = u[chart_id]  # [T, 3]
+    cv = v[chart_id]
+    tv = verts[tris]  # [T, 3, 3]
+    return np.stack(
+        [np.einsum("tcs,ts->tc", tv, cu),
+         np.einsum("tcs,ts->tc", tv, cv)], axis=-1,
+    ).astype(np.float64)
+
+
+def pack_charts(
+    uv: np.ndarray, chart_id: np.ndarray, n_charts: int,
+    tex_size: int = 2048, margin_px: float = 4.0,
+    occupancy: float = 0.72,
+) -> np.ndarray:
+    """Shelf-pack chart bounding rects; returns ft_uv [T, 3, 2] in [0, 1].
+
+    One global world->texel scale (uniform texel density). Charts are
+    sorted by bbox height and placed into shelves left to right; if the
+    shelves overflow the atlas the scale shrinks 10% and packing retries
+    (same strategy class as xatlas's brute-force packer, minus rotation).
+    """
+    # per-chart uv bbox via segment min/max
+    INF = np.inf
+    mins = np.full((n_charts, 2), INF)
+    maxs = np.full((n_charts, 2), -INF)
+    flat_uv = uv.reshape(-1, 2)
+    flat_cid = np.repeat(chart_id, 3)
+    np.minimum.at(mins, flat_cid, flat_uv)
+    np.maximum.at(maxs, flat_cid, flat_uv)
+    sizes = np.maximum(maxs - mins, 1e-12)  # world units
+
+    area = float((sizes[:, 0] * sizes[:, 1]).sum())
+    scale = math.sqrt(occupancy * tex_size * tex_size / area)
+
+    order = np.argsort(-sizes[:, 1])  # tallest first
+    for _ in range(64):
+        w = sizes[:, 0] * scale + 2 * margin_px
+        h = sizes[:, 1] * scale + 2 * margin_px
+        if w.max() > tex_size or h.max() > tex_size:
+            scale *= 0.96
+            continue
+        pos = np.zeros((n_charts, 2))
+        x = y = shelf_h = 0.0
+        ok = True
+        for c in order:
+            if x + w[c] > tex_size:  # next shelf
+                y += shelf_h
+                x = shelf_h = 0.0
+            if y + h[c] > tex_size:
+                ok = False
+                break
+            pos[c] = (x + margin_px, y + margin_px)
+            x += w[c]
+            shelf_h = max(shelf_h, h[c])
+        if ok:
+            break
+        scale *= 0.96
+    else:
+        raise RuntimeError("pack_charts: could not fit charts into atlas")
+
+    ft_uv = (uv - mins[chart_id][:, None, :]) * scale + pos[chart_id][:, None, :]
+    return (ft_uv / tex_size).astype(np.float32)
+
+
+def rasterize_atlas(
+    ft_uv: np.ndarray, tex_size: int, eps: float = 0.01,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Texel-center -> (owning triangle, barycentric) maps.
+
+    ft_uv: [T, 3, 2] in [0, 1], any layout whose triangles don't overlap
+    (chart margins / per-triangle cells guarantee that up to `eps`-grown
+    edges, where last-write-wins is harmless: both faces agree on the
+    shared edge's surface positions).
+
+    Returns (tri_idx [H, W] int64, -1 outside; bary [H, W, 3] float32;
+    inside [H, W] bool). Vectorized by bucketing triangles into
+    power-of-two bbox size classes: each bucket tests a [Tb, k*k]
+    candidate texel grid in one broadcast barycentric evaluation.
+    """
+    T = len(ft_uv)
+    tri_idx = np.full((tex_size, tex_size), -1, np.int64)
+    bary = np.zeros((tex_size, tex_size, 3), np.float32)
+    if T == 0:
+        return tri_idx, bary, tri_idx >= 0
+
+    px = ft_uv * tex_size  # texel coords of uv corners
+    lo = np.floor(px.min(axis=1) - 0.5).astype(np.int64)  # [T, 2]
+    hi = np.ceil(px.max(axis=1) + 0.5).astype(np.int64)
+    span = np.maximum((hi - lo).max(axis=1), 1)  # [T]
+
+    kclass = np.ceil(np.log2(span)).astype(np.int64)
+    for k in np.unique(kclass):
+        sel = np.nonzero(kclass == k)[0]
+        kk = int(2**k)
+        # candidate texel centers: bbox origin + local grid, [S, kk*kk, 2]
+        oy, ox = np.mgrid[0:kk, 0:kk]
+        cand = (lo[sel][:, None, :]
+                + np.stack([ox.ravel(), oy.ravel()], -1)[None])  # [S,K,2]
+        p = cand + 0.5  # texel centers
+        a = px[sel][:, None, 0, :]
+        b = px[sel][:, None, 1, :]
+        c = px[sel][:, None, 2, :]
+        v0 = b - a
+        v1 = c - a
+        v2 = p - a
+        d00 = np.einsum("ski,ski->sk", v0, v0)
+        d01 = np.einsum("ski,ski->sk", v0, v1)
+        d11 = np.einsum("ski,ski->sk", v1, v1)
+        d20 = np.einsum("ski,ski->sk", v2, v0)
+        d21 = np.einsum("ski,ski->sk", v2, v1)
+        denom = d00 * d11 - d01 * d01
+        denom = np.where(np.abs(denom) < 1e-12, 1e-12, denom)
+        w1 = (d11 * d20 - d01 * d21) / denom
+        w2 = (d00 * d21 - d01 * d20) / denom
+        w0 = 1.0 - w1 - w2
+        inb = ((cand[..., 0] >= 0) & (cand[..., 0] < tex_size)
+               & (cand[..., 1] >= 0) & (cand[..., 1] < tex_size))
+        inside = inb & (w0 >= -eps) & (w1 >= -eps) & (w2 >= -eps)
+
+        si, ki = np.nonzero(inside)
+        flat = cand[si, ki, 1] * tex_size + cand[si, ki, 0]
+        tri_idx.reshape(-1)[flat] = sel[si]
+        ws = np.stack([w0[si, ki], w1[si, ki], w2[si, ki]], -1)
+        bary.reshape(-1, 3)[flat] = np.clip(ws, 0.0, 1.0)
+
+    inside = tri_idx >= 0
+    # renormalize clipped barycentrics
+    s = bary.sum(-1, keepdims=True)
+    bary = np.where(s > 0, bary / np.maximum(s, 1e-12), bary)
+    return tri_idx, bary.astype(np.float32), inside
+
+
+def unwrap(
+    verts: np.ndarray, tris: np.ndarray, tex_size: int = 2048,
+    cone_deg: float = 60.0, margin_px: float = 4.0,
+) -> np.ndarray:
+    """Full unwrap: charts -> planar UVs -> packed atlas. [T, 3, 2]."""
+    chart_id, seed_n = grow_charts(verts, tris, cone_deg)
+    uv = flatten_charts(verts, tris, chart_id, seed_n)
+    return pack_charts(uv, chart_id, len(seed_n), tex_size, margin_px)
