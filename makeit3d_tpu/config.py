@@ -60,7 +60,17 @@ class Config:
     blob_density: float = 5.0
     blob_radius: float = 0.1
     fp16: bool = False            # on TPU this selects bfloat16 compute
-    backbone: str = "hashgrid"    # hashgrid (tcnn equivalent) | vanilla
+    backbone: str = "hashgrid"    # hashgrid (tcnn equivalent) | vanilla | fourier
+    # fourier backbone (TPU flagship): an MXU-aligned frequency-encoded
+    # ResMLP. Rationale (docs/TPU_NOTES.md "scatter ceiling"): XLA:TPU
+    # scatter-add tops out at ~20M rows/s, capping ANY grid/hash-style
+    # encoder's backward at minutes per 128x128 shaded step, while the
+    # MXU runs matmul backward at ~150 TFLOP/s. The flagship field is
+    # therefore matmul-only: sin/cos bands -> wide ResMLP, analytic
+    # normals (one batched vjp instead of 7x FD probes).
+    mlp_hidden: int = 256
+    mlp_layers: int = 6
+    mlp_multires: int = 10
     optim: str = "adan"           # adan | adam | adamw
     sd_version: str = "2.0"
     hf_key: Optional[str] = None

@@ -65,7 +65,7 @@ def parse_args(argv=None):
     p.add_argument("--fp16", action="store_true",
                    help="bfloat16 compute on TPU")
     p.add_argument("--backbone", type=str, default="hashgrid",
-                   choices=["hashgrid", "tcnn", "grid", "vanilla"])
+                   choices=["hashgrid", "tcnn", "grid", "vanilla", "fourier"])
     p.add_argument("--optim", type=str, default="adan",
                    choices=["adan", "adam", "adamw"])
     p.add_argument("--sd_version", type=str, default="2.0",

@@ -254,6 +254,14 @@ class VanillaField(nn.Module):
     # network.py:186-191) needs jax.vjp over the *applied* module, which
     # cannot run inside a linen method; see sigma_albedo_normal() below.
 
+    def __call__(self, x, d, light_d=None, ratio=1.0,
+                 shading_mode=SHADING_ALBEDO):
+        """Init/tracing entry (touches every param). Rendering goes
+        through apply_field -> sigma_albedo_normal, which adds the
+        analytic vjp normal this in-module path cannot compute."""
+        sigma, albedo = self.common(x)
+        return sigma, albedo, jnp.zeros_like(albedo)
+
 
 def sigma_albedo_normal(field: nn.Module, variables, x):
     """(sigma, albedo, normal) for any backbone, as a pure function.
@@ -599,5 +607,23 @@ def make_field(cfg) -> nn.Module:
             blob_density=cfg.blob_density,
             blob_radius=cfg.blob_radius,
             dtype=dtype,
+        )
+    if cfg.backbone == "fourier":
+        # TPU flagship: matmul-only field. Same math family as vanilla
+        # (reference: nerf/network.py), scaled to MXU-aligned width and
+        # run in bf16 — the backward is pure matmul, dodging both the
+        # XLA:TPU scatter-throughput ceiling (~20M rows/s) and the
+        # probes+scatter fused-backward fault that gates the hash
+        # backbone (docs/TPU_NOTES.md).
+        return VanillaField(
+            bound=cfg.bound,
+            blob_density=cfg.blob_density,
+            blob_radius=cfg.blob_radius,
+            hidden_dim=cfg.mlp_hidden,
+            num_layers=cfg.mlp_layers,
+            multires=cfg.mlp_multires,
+            # bf16 matmuls by default (MXU fast path; params and the
+            # sigma/albedo nonlinearities stay f32 inside the module)
+            dtype=jnp.bfloat16,
         )
     raise NotImplementedError(f"backbone {cfg.backbone}")

@@ -136,6 +136,61 @@ class HashGridEncoder:
         # feats: [L, N, F] -> [N, L*F]
         return jnp.moveaxis(feats, 0, 1).reshape(x.shape[0], -1)
 
+    def grad_table_flat(self, x: jnp.ndarray, dfeat: jnp.ndarray,
+                        chunk: int = 1 << 16) -> jnp.ndarray:
+        """Same table cotangent as grad_table, ONE scatter-add per chunk.
+
+        The scan-of-scans formulation issues 8 corners x L levels = 128
+        small sequential scatters per chunk; XLA:TPU pays per-scatter
+        sort/setup every time, which made the encode-split apply phase
+        dispatch-bound (~seconds per 128x128 step). Here the level is
+        folded into a flattened [L*T, F] table index (idx + level*T) and
+        the 8 corner contributions are stacked, so each chunk is a
+        single [8*L*chunk]-row scatter-add. Identical math — the scatter
+        combiner is associative addition.
+        """
+        N = x.shape[0]
+        L, F, T = self.n_levels, self.n_features, self.table_size
+        resolutions = jnp.asarray(self.resolutions, jnp.float32)  # [L]
+        tsize = jnp.uint32(T)
+        dtype = dfeat.dtype
+        n_chunks = max(-(-N // chunk), 1)
+        pad = n_chunks * chunk - N
+        xp = jnp.pad(x, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
+        dp = jnp.pad(dfeat, ((0, pad), (0, 0))).reshape(
+            n_chunks, chunk, L, F)
+        lvl_off = (jnp.arange(L, dtype=jnp.uint32) * tsize)[None, :]  # [1,L]
+
+        def chunk_body(gtab, inp):
+            xx, dd = inp  # [chunk, 3], [chunk, L, F]
+            xs = xx[:, None, :] * resolutions[None, :, None]  # [chunk, L, 3]
+            x0f = jnp.floor(xs)
+            w = xs - x0f
+            x0 = jnp.asarray(x0f, jnp.uint32)
+            idxs = []
+            vals = []
+            for c in range(8):
+                ox, oy, oz = c & 1, (c >> 1) & 1, (c >> 2) & 1
+                h = (x0[..., 0] + jnp.uint32(ox)) * jnp.uint32(_PRIMES[0])
+                h = h ^ ((x0[..., 1] + jnp.uint32(oy))
+                         * jnp.uint32(_PRIMES[1]))
+                h = h ^ ((x0[..., 2] + jnp.uint32(oz))
+                         * jnp.uint32(_PRIMES[2]))
+                idxs.append(h % tsize + lvl_off)  # [chunk, L]
+                wc = (
+                    (w[..., 0] if ox else 1.0 - w[..., 0])
+                    * (w[..., 1] if oy else 1.0 - w[..., 1])
+                    * (w[..., 2] if oz else 1.0 - w[..., 2])
+                )
+                vals.append(dd * wc[..., None].astype(dtype))  # [chunk,L,F]
+            idx = jnp.stack(idxs).reshape(-1)         # [8*chunk*L]
+            val = jnp.stack(vals).reshape(-1, F)      # [8*chunk*L, F]
+            return gtab.at[idx].add(val), None
+
+        gtab0 = jnp.zeros((L * T, F), dtype)
+        gtab, _ = jax.lax.scan(chunk_body, gtab0, (xp, dp))
+        return gtab.reshape(L, T, F)
+
     def grad_table(self, x: jnp.ndarray, dfeat: jnp.ndarray,
                    chunk: int = 1 << 17,
                    index_dtype=None) -> jnp.ndarray:

@@ -159,11 +159,12 @@ def make_optimizer(cfg, schedule: Optional[Schedule] = None) -> optax.GradientTr
 def make_lr_schedule(cfg) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """LR schedule factory (reference: main.py:136-144).
 
-    vanilla: linear warmup + cosine to min_lr; hashgrid: constant.
+    vanilla/fourier (MLP fields): linear warmup + cosine to min_lr;
+    hashgrid: constant.
     Returns a multiplier-applied schedule (absolute LR).
     """
     base = 5 * cfg.lr if cfg.optim == "adan" else cfg.lr
-    if cfg.backbone == "vanilla":
+    if cfg.backbone in ("vanilla", "fourier"):
         warm = max(cfg.warm_iters, 1)
 
         def sched(count):

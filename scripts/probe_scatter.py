@@ -106,6 +106,8 @@ def main():
     elif variant == "scatter_i32":
         fn = lambda: enc.grad_table(  # noqa: E731
             x01, dfeats, index_dtype=jnp.int32)
+    elif variant == "scatter_flat":
+        fn = lambda: enc.grad_table_flat(x01, dfeats)  # noqa: E731
     elif variant == "scatter_vjp":
         chunk = settings.field_chunk
         n_chunks = -(-P // chunk)

@@ -30,6 +30,10 @@ def test_grad_table_matches_autodiff():
     got = enc.grad_table(x, dfeat, chunk=64)  # 5 chunks, padded tail
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-7)
+    # the single-scatter-per-chunk formulation computes the same thing
+    flat = enc.grad_table_flat(x, dfeat, chunk=64)
+    np.testing.assert_allclose(np.asarray(flat), np.asarray(want),
+                               rtol=1e-5, atol=1e-7)
 
 
 CFG_KW = dict(
