@@ -1,14 +1,24 @@
 """Benchmark: coarse-stage training throughput on the real TPU.
 
 Workload = the reference's hot loop at its published settings (128x128
-rays/step, hash-grid field, finite-difference normals + smoothness
-probes, occupancy marching, full loss stack minus the frozen diffusion
-prior, Adan update) — reference README.md:71-74 trains 5000 such iters.
+rays/step, finite-difference/analytic normals + smoothness term,
+occupancy marching, full loss stack minus the frozen diffusion prior,
+Adan update) — reference README.md:71-74 trains 5000 such iters. The
+headline runs the TPU flagship `fourier` backbone (MXU-aligned MLP
+field; matmul-only backward — the hash backbone is bounded by the
+XLA:TPU scatter-add ceiling of ~20M rows/s and is reported separately;
+docs/TPU_NOTES.md "scatter ceiling").
 
 Prints ONE JSON line. vs_baseline normalizes against the driver's
 north-star budget (full coarse stage inside the 15-minute asset budget:
 5000 iters / 9 min => 9.26 iter/s); >1.0 means the coarse loop is faster
 than the budget requires.
+
+TIMING METHODOLOGY: through the axon relay, jax.block_until_ready can
+acknowledge before the device finishes (round-1's 250-308 it/s rows
+were phantom dispatch rates measured that way). All timings here chain
+steps data-dependently and end with ONE host fetch of a scalar, which
+is the only trustworthy completion barrier (docs/TPU_NOTES.md).
 
 Measurement conditions (recorded in the JSON so the line is
 self-describing):
@@ -16,15 +26,7 @@ self-describing):
   grid is found under results/*/checkpoints (the real marching
   workload), else the synthetic solid sphere.
 - The step programs are the PRODUCTION programs: built through
-  make_step_variant, so on TPU the shaded step runs the two-program
-  encode split exactly as the Trainer does (training/split_step.py).
-- The trainer's own logged it/s can sit below this number by design:
-  training adds host-side pose sampling, scalar readbacks at the
-  logging cadence, image dumps, and (dominant on a degraded axon relay
-  window) ~seconds-long grid refreshes — see docs/TPU_NOTES.md
-  "throughput forensics". The bench syncs once at the end and uploads
-  reference buffers once, which is also how the steady-state loop
-  behaves between logging points.
+  make_step_variant, exactly as the Trainer builds them.
 """
 
 import glob
@@ -111,7 +113,8 @@ def main():
     from makeit3d_tpu.training.optimizer import make_lr_schedule, make_optimizer
     from makeit3d_tpu.training.trainer import make_step_variant
 
-    cfg = Config(guidance="none")  # reference defaults: 128x128, S budget 96
+    # reference workload shape: 128x128 rays, S budget 96; flagship field
+    cfg = Config(guidance="none", backbone="fourier")
     field = make_field(cfg)
     key = jax.random.PRNGKey(0)
     params = field.init(key, jnp.zeros((8, 3)), jnp.zeros((8, 3)))
@@ -195,14 +198,15 @@ def main():
     for (front, shaded), fn in steps.items():
         batch = front_batch if front else novel_batch
         params, opt_state, metrics, _ = fn(params, opt_state, grid, key, batch)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(np.asarray(metrics["loss"]))  # fetch = true completion
     rng = np.random.default_rng(0)  # reset the shading-mix stream
 
     # per-step FLOPs of the shaded novel step (the hot program pair)
     flops_step = measure_flops(steps[(False, True)], params, opt_state,
                                grid, key, novel_batch)
 
-    # timed run, including the every-16-step grid refresh like training
+    # timed run, including the every-16-step grid refresh like training;
+    # steps chain data-dependently (params/opt_state), ONE fetch at end
     n_steps = 40
     t0 = time.time()
     for i in range(n_steps):
@@ -212,7 +216,7 @@ def main():
             _ = update_grid(params, grid, key)
         fn, batch = make_batch(i)
         params, opt_state, metrics, _ = fn(params, opt_state, grid, key, batch)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(np.asarray(metrics["loss"]))
     dt = time.time() - t0
 
     iters_per_sec = n_steps / dt
@@ -220,6 +224,33 @@ def main():
     target = 5000.0 / (9 * 60)  # coarse stage inside the 15-min asset budget
     mfu = (round(flops_step * iters_per_sec / V5E_PEAK_FLOPS, 4)
            if flops_step else None)
+
+    # --- hash backbone (parity tier), albedo program, short run: its
+    # backward rides the XLA scatter ceiling (~20M rows/s) so a handful
+    # of steps suffices to characterize it ---
+    hash_albedo_ips = None
+    try:
+        if os.environ.get("BENCH_SKIP_HASH") != "1" and dt < 120.0:
+            hcfg = Config(guidance="none", backbone="hashgrid")
+            hfield = make_field(hcfg)
+            hparams = hfield.init(key, jnp.zeros((8, 3)), jnp.zeros((8, 3)))
+            hopt = make_optimizer(hcfg, make_lr_schedule(hcfg))
+            hopt_state = hopt.init(hparams)
+            hstep = make_step_variant(
+                hcfg, hfield, hopt, settings, None, is_front=False,
+                shaded=False, with_sds=False)
+            hparams, hopt_state, hm, _ = hstep(hparams, hopt_state, grid,
+                                               key, novel_batch)
+            _ = float(np.asarray(hm["loss"]))
+            n_h = 3
+            t0 = time.time()
+            for _i in range(n_h):
+                hparams, hopt_state, hm, _ = hstep(hparams, hopt_state,
+                                                   grid, key, novel_batch)
+            _ = float(np.asarray(hm["loss"]))
+            hash_albedo_ips = round(n_h / (time.time() - t0), 3)
+    except Exception as e:
+        print(f"[bench] hash phase skipped: {type(e).__name__}: {e}")
 
     # --- SDS phase: novel-view step with the full-size SD 2.0 stack ---
     # (randomly initialized towers — zero-egress environment — but the
@@ -265,17 +296,19 @@ def main():
                 "gparams": guidance.params,
             }
             p2, o2, m, _ = sds_step(params, opt_state, grid, key, batch)
-            jax.block_until_ready(m["loss"])
+            _ = float(np.asarray(m["loss"]))  # fetch = true completion
             fl = measure_flops(sds_step, params, opt_state, grid, key, batch)
             n_sds = 10
             t0 = time.time()
             for _i in range(n_sds):
                 p2, o2, m, _ = sds_step(p2, o2, grid, key, batch)
-            jax.block_until_ready(m["loss"])
+            _ = float(np.asarray(m["loss"]))
             ips = n_sds / (time.time() - t0)
             return ips, fl
 
-        attempts = [(cfg, 0), (cfg, 1), (Config(guidance="none", h=64, w=64), 2)]
+        attempts = [(cfg, 0), (cfg, 1),
+                    (Config(guidance="none", backbone="fourier",
+                            h=64, w=64), 2)]
         last_err = None
         for sds_cfg, salt in attempts:
             try:
@@ -304,10 +337,13 @@ def main():
         "rays_per_sec": round(rays_per_sec, 1),
         "mfu": mfu,
         "flops_per_step": flops_step,
+        "backbone": cfg.backbone,
+        "hash_albedo_iters_per_sec": hash_albedo_ips,
         "sds_iters_per_sec": sds_iters_per_sec,
         "sds_mfu": sds_mfu,
         "sds_note": sds_note,
         "grid_source": grid_source,
+        "timing": "host-fetch barrier (block_until_ready unreliable on relay)",
         "device": str(jax.devices()[0]),
     }))
 
