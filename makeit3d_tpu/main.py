@@ -108,6 +108,10 @@ def parse_args(argv=None):
                    help="miniature random towers (tests/smoke)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler (xprof) trace of epoch 2 here")
+    p.add_argument("--mlp_hidden", type=int, default=d.mlp_hidden,
+                   help="fourier backbone: ResMLP width (MXU-aligned)")
+    p.add_argument("--mlp_layers", type=int, default=d.mlp_layers)
+    p.add_argument("--mlp_multires", type=int, default=d.mlp_multires)
     p.add_argument("--mesh_data", type=int, default=d.mesh_data,
                    help="data-parallel devices: rays sharded over a 1-D "
                         "mesh, state replicated (parallel/mesh.py)")

@@ -77,3 +77,25 @@ def test_cli_train_test_mesh_refine(ref_image, tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(refine_dir, "vertices_cano.npy"))
     assert os.path.exists(os.path.join(refine_dir, "results",
                                        "render_unet_img_clip.mp4"))
+
+
+def test_cli_fourier_flagship(ref_image, tmp_path, monkeypatch):
+    """The TPU-flagship backbone through the same CLI: train ->
+    checkpoint -> chart-unwrapped mesh export."""
+    monkeypatch.chdir(tmp_path)
+    ws = "cli_fourier"
+    main(["--workspace", ws, "--ref_path", ref_image,
+          "--text", "a blob", "--guidance", "none",
+          "--backbone", "fourier", "--mlp_hidden", "32",
+          "--mlp_layers", "3", "--mlp_multires", "4", *TOY])
+    wsdir = os.path.join("results", ws)
+    ckpts = os.listdir(os.path.join(wsdir, "checkpoints"))
+    assert any(c.endswith(".ckpt") for c in ckpts)
+
+    main(["--workspace", ws, "--ref_path", ref_image,
+          "--text", "a blob", "--guidance", "none", "--test",
+          "--save_mesh", "--backbone", "fourier", "--mlp_hidden", "32",
+          "--mlp_layers", "3", "--mlp_multires", "4", *TOY])
+    mesh_files = os.listdir(os.path.join(wsdir, "mesh"))
+    assert any(f.endswith(".obj") for f in mesh_files)
+    assert any(f.endswith(".png") for f in mesh_files)
