@@ -161,13 +161,39 @@ def make_split_encode_step(cfg, field, optimizer, settings, guidance,
 
     # gtab is donated: the accumulator aliases in-place across the K
     # invocations instead of copying the [L, T, F] table (64 MB at
-    # defaults) every slice
+    # defaults) every slice.
+    #
+    # Formulation: jax.vjp of the encode FORWARD — the exact backward
+    # shape XLA generates inside the fused albedo program. Probed on the
+    # v5e (scripts/probe_scatter.py, 2026-08-17): at 1M rows it survives
+    # AND runs ~2.3x faster than the hand flat-scatter (5.4s vs 12.5s;
+    # all formulations ride the ~20M-rows/s XLA scatter ceiling,
+    # docs/TPU_NOTES.md). The encode is linear in the table, so the vjp
+    # is taken at a zero table — no dependence on live params.
+    table0 = jnp.zeros(
+        (encoder.n_levels, encoder.table_size, encoder.n_features),
+        jnp.float32)
+    chunk = settings.field_chunk
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def scatter_program(gtab, pos_slice, df_slice):
         # same [0,1] mapping as HashGridField.encode
         x01 = (pos_slice + bound) / (2.0 * bound)
-        return gtab + encoder.grad_table(
-            x01, df_slice.astype(jnp.float32), chunk=settings.field_chunk)
+        P = x01.shape[0]
+        n_chunks = max(-(-P // chunk), 1)
+        pad = n_chunks * chunk - P
+        xp = jnp.pad(x01, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
+        dp = jnp.pad(df_slice.astype(jnp.float32),
+                     ((0, pad), (0, 0))).reshape(n_chunks, chunk, -1)
+
+        def chunk_grad(carry, inp):
+            xx, dd = inp
+            _, vjp = jax.vjp(lambda t: encoder(t, xx), table0)
+            (g,) = vjp(dd)
+            return carry + g, None
+
+        add, _ = jax.lax.scan(chunk_grad, jnp.zeros_like(gtab), (xp, dp))
+        return gtab + add
 
     @jax.jit
     def update_program(params, opt_state, gparams, gtab):
