@@ -71,6 +71,13 @@ class Config:
     mlp_hidden: int = 256
     mlp_layers: int = 6
     mlp_multires: int = 10
+    # Novel views per optimizer step (>1 batches the render + frozen
+    # UNet/CLIP towers over a leading view axis — bigger MXU matmuls —
+    # and the gradient is the per-view mean; reference renders exactly
+    # 1 view/step, provider.py:316). Front/reference views always train
+    # single-view. Requires an MLP backbone on TPU (the hash encode
+    # split is not vmap-safe).
+    views_per_step: int = 1
     optim: str = "adan"           # adan | adam | adamw
     sd_version: str = "2.0"
     hf_key: Optional[str] = None

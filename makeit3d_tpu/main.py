@@ -112,6 +112,9 @@ def parse_args(argv=None):
                    help="fourier backbone: ResMLP width (MXU-aligned)")
     p.add_argument("--mlp_layers", type=int, default=d.mlp_layers)
     p.add_argument("--mlp_multires", type=int, default=d.mlp_multires)
+    p.add_argument("--views_per_step", type=int, default=d.views_per_step,
+                   help="novel views batched per optimizer step (MLP "
+                        "backbones; front views stay single)")
     p.add_argument("--mesh_data", type=int, default=d.mesh_data,
                    help="data-parallel devices: rays sharded over a 1-D "
                         "mesh, state replicated (parallel/mesh.py)")

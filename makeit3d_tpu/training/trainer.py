@@ -266,6 +266,75 @@ def make_train_step(cfg, field, optimizer, settings, guidance,
     return stepped
 
 
+# multi-view batching: which batch keys carry a leading [B] view axis
+# (everything else — reference buffers, guidance weights, step-phase
+# scalars — is shared across the group's views)
+MV_VIEW_KEYS = ("rays_o", "rays_d", "depth_scale", "is_large",
+                "text_z", "text_z_clip")
+
+
+def make_multiview_step(cfg, field, optimizer, settings, guidance,
+                        shaded: bool, with_sds: bool = True,
+                        salt: int = 0, mesh=None):
+    """B novel views per optimizer step — a TPU-first capability the
+    reference lacks (it renders exactly one view per step,
+    provider.py:316). The render/loss is vmapped over the view axis, so
+    all B renders batch through the frozen UNet/CLIP towers in one call
+    (B-fold bigger matmuls for the MXU), and the step gradient is the
+    MEAN of the per-view gradients — SGD over views with an effective
+    batch of B. Per-view PRNG streams derive as fold_in(key, view_index)
+    (testable closed form, tests/test_multiview.py).
+
+    Batch arrays in MV_VIEW_KEYS carry a leading [B] axis; the rest are
+    shared. With `mesh`, the VIEW axis shards over the "data" axis (the
+    SURVEY §2.3 "batch novel views across the slice" mapping); B must be
+    divisible by the mesh size.
+
+    Hash backbones on TPU are excluded: their shaded program needs the
+    encode split (resolve_split_encode), whose scatter program is not
+    vmap-safe against the v5e fault. Use the fourier/vanilla backbones
+    for multi-view training.
+    """
+    loss_fn = build_loss_fn(cfg, field, settings, guidance, is_front=False,
+                            shaded=shaded, with_sds=with_sds)
+    axes = {k: (0 if k in MV_VIEW_KEYS else None) for k in
+            BATCH_KEYS + (GUIDANCE_BATCH_KEYS if guidance is not None
+                          else ())}
+
+    def train_step(params, opt_state, grid, key, batch):
+        B = batch["rays_o"].shape[0]
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(B))
+
+        def salted(p):
+            def per_view(k, b):
+                loss, (metrics, aux) = loss_fn(p, grid, k, b)
+                return loss, (metrics, aux)
+
+            losses, (metrics, aux) = jax.vmap(
+                per_view, in_axes=(0, {k: axes[k] for k in batch})
+            )(keys, batch)
+            loss = jnp.mean(losses)
+            if salt:
+                loss = loss * (1.0 + 1e-6 * salt)
+            metrics = jax.tree.map(jnp.mean, metrics)
+            return loss, (metrics, aux)
+
+        gfn = jax.value_and_grad(salted, has_aux=True)
+        (_, (metrics, aux)), grads = gfn(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, metrics, aux
+
+    if mesh is not None:
+        from ..parallel.mesh import shard_train_step
+
+        keys = BATCH_KEYS + (
+            GUIDANCE_BATCH_KEYS if guidance is not None else ())
+        fn, _ = shard_train_step(train_step, mesh, keys)
+        return fn
+    return jax.jit(train_step)
+
+
 def resolve_split_encode(cfg, field) -> bool:
     """Whether shaded steps run as the two-program encode split
     (training/split_step.py). None = auto: on for hash backbones on a
@@ -460,6 +529,26 @@ class Trainer:
             for with_sds in ((False, True) if self.guidance is not None
                              and not front else (False,))
         }
+        self._mv_step = None
+        if cfg.views_per_step > 1:
+            if resolve_split_encode(cfg, self.field):
+                raise ValueError(
+                    "views_per_step > 1 needs an MLP backbone on TPU "
+                    "(--backbone fourier|vanilla): the hash encode split "
+                    "is not vmap-safe (training/split_step.py)")
+            if self.mesh is not None and cfg.views_per_step % cfg.mesh_data:
+                raise ValueError(
+                    f"views_per_step={cfg.views_per_step} not divisible "
+                    f"by mesh_data={cfg.mesh_data}")
+            self._mv_step = {
+                (shaded, with_sds): make_multiview_step(
+                    cfg, self.field, self.optimizer, self.settings_train,
+                    self.guidance, shaded=shaded, with_sds=with_sds,
+                    salt=self._compile_salt, mesh=self.mesh)
+                for shaded in (False, True)
+                for with_sds in ((False, True) if self.guidance is not None
+                                 else (False,))
+            }
         if cfg.ema_decay:
             d = float(cfg.ema_decay)
 
@@ -613,8 +702,23 @@ class Trainer:
                 # through the relay (seconds), so it must be rare.
                 commit_guard()
                 self.take_host_snapshot(gen=gen)
-            batch_np = sampler.get(i)
-            metrics, aux = self.step(batch_np)
+            # multi-view grouping: pull up to views_per_step consecutive
+            # NOVEL views into one batched step (front views and the
+            # albedo warmup stay single-view; groups never span a front
+            # index, so the every-4th-front cadence is preserved)
+            views = [sampler.get(i)]
+            if (self._mv_step is not None and not views[0].is_front
+                    and self.global_step + 1 >= cfg.albedo_iters):
+                j = i + 1
+                while (len(views) < cfg.views_per_step
+                       and j < sampler.size):
+                    v = sampler.get(j)
+                    if v.is_front:
+                        break
+                    views.append(v)
+                    j += 1
+            consumed = len(views)
+            metrics, aux = self.step(views if consumed > 1 else views[0])
             # Host syncs are expensive through the axon relay (a
             # per-step loss.item() like the reference's utils.py:991
             # costs ~6x throughput); read scalars back only at the
@@ -637,8 +741,8 @@ class Trainer:
                     f"{k}={float(v):.4f}" for k, v in sorted(metrics.items())
                 )
                 self.ws.log(f"step {self.global_step}: {parts}")
-                return loss
-            return None
+                return loss, consumed
+            return None, consumed
 
         rolls = 0
         i = 0
@@ -647,12 +751,12 @@ class Trainer:
                 # the watchdog bounds every device interaction (dispatch,
                 # compile, sync): a dead relay RPC otherwise blocks the
                 # process forever with no exception (docs/TPU_NOTES.md)
-                loss = watchdog.call_with_timeout(
+                loss, consumed = watchdog.call_with_timeout(
                     functools.partial(body, i), cfg.step_timeout_s)
                 if loss is not None:
                     total_loss += loss
                     n += 1
-                i += 1
+                i += consumed
             except (jax.errors.JaxRuntimeError,
                     watchdog.DeviceHangError) as e:
                 rolls += 1
@@ -662,8 +766,11 @@ class Trainer:
                     raise
                 # replay the rolled-back steps: restore rewinds
                 # global_step to the snapshot, so rewind the view index
-                # by the same distance (clamped to this epoch's start)
-                i = max(0, i - (gs_at_fault - self.global_step))
+                # by the same distance (upper-bounded by views_per_step
+                # per step when grouping — replaying a few extra poses
+                # is harmless, the views are i.i.d. samples)
+                per = max(cfg.views_per_step, 1)
+                i = max(0, i - (gs_at_fault - self.global_step) * per)
         self.stats["loss"].append(total_loss / max(n, 1))
         self.ws.log(f"==> Finished Epoch {self.epoch}.")
 
@@ -744,9 +851,11 @@ class Trainer:
         return True
 
     def step(self, view) -> tuple:
-        """One optimization step from a sampled ViewBatch. Worker-fault
-        recovery wraps the epoch loop (train_one_epoch), which is where
-        device scalars are read back.
+        """One optimization step from a sampled ViewBatch — or, with
+        cfg.views_per_step > 1, a LIST of novel ViewBatches trained
+        through the vmapped multi-view program (make_multiview_step).
+        Worker-fault recovery wraps the epoch loop (train_one_epoch),
+        which is where device scalars are read back.
 
         Commit discipline: a watchdog-abandoned zombie thread may still be
         executing an older step() when recovery restores a snapshot. All
@@ -758,8 +867,17 @@ class Trainer:
         gen = self._state_gen
         gs = self.global_step + 1
 
-        # shading schedule (reference: utils.py:470-483)
-        if gs < cfg.albedo_iters or view.is_front:
+        views = view if isinstance(view, (list, tuple)) else [view]
+        if len(views) == 1:
+            view = views[0]
+            grouped = False
+        else:
+            assert self._mv_step is not None and not views[0].is_front
+            grouped = True
+
+        # shading schedule (reference: utils.py:470-483); drawn once per
+        # step — a grouped step shares one shading mode across its views
+        if gs < cfg.albedo_iters or (not grouped and view.is_front):
             shading, ambient = SHADING_ALBEDO, 1.0
         else:
             r = self._host_rng.random()
@@ -771,34 +889,62 @@ class Trainer:
                 shading, ambient = SHADING_LAMBERTIAN, 0.1
 
         diff_phase = 1.0 if gs >= cfg.diff_iters else 0.0
-        text_idx = 1 if view.is_large else 0
 
-        batch = {
-            "rays_o": jnp.asarray(view.rays_o.reshape(-1, 3)),
-            "rays_d": jnp.asarray(view.rays_d.reshape(-1, 3)),
-            "depth_scale": jnp.asarray(view.depth_scale.reshape(-1)),
+        def stack(fn):
+            return jnp.asarray(np.stack([fn(v) for v in views]))
+
+        if grouped:
+            batch = {
+                "rays_o": stack(lambda v: v.rays_o.reshape(-1, 3)),
+                "rays_d": stack(lambda v: v.rays_d.reshape(-1, 3)),
+                "depth_scale": stack(lambda v: v.depth_scale.reshape(-1)),
+                "is_large": jnp.asarray(
+                    [1.0 if v.is_large else 0.0 for v in views]),
+            }
+        else:
+            batch = {
+                "rays_o": jnp.asarray(view.rays_o.reshape(-1, 3)),
+                "rays_d": jnp.asarray(view.rays_d.reshape(-1, 3)),
+                "depth_scale": jnp.asarray(view.depth_scale.reshape(-1)),
+                "is_large": jnp.asarray(1.0 if view.is_large else 0.0),
+            }
+        batch.update({
             "ref_rgba": self.ref_rgba,
             "ref_depth": self.ref_depth,
             "obj_mask": self.obj_mask,
-            "is_large": jnp.asarray(1.0 if view.is_large else 0.0),
             "diff_phase": jnp.asarray(diff_phase),
             "shading_mode": jnp.asarray(shading, jnp.int32),
             "ambient_ratio": jnp.asarray(ambient, jnp.float32),
-        }
+        })
         if self.guidance is not None and self.text_z is not None:
-            batch["text_z"] = self.text_z[text_idx]
-            batch["text_z_clip"] = self._clip_text_cache[text_idx]
+            if grouped:
+                idxs = [1 if v.is_large else 0 for v in views]
+                batch["text_z"] = jnp.stack(
+                    [self.text_z[i] for i in idxs])
+                batch["text_z_clip"] = jnp.stack(
+                    [self._clip_text_cache[i] for i in idxs])
+            else:
+                text_idx = 1 if view.is_large else 0
+                batch["text_z"] = self.text_z[text_idx]
+                batch["text_z_clip"] = self._clip_text_cache[text_idx]
             batch["gparams"] = self.guidance.params
 
         use_sds = (
-            not view.is_front
+            (grouped or not view.is_front)
             and self.guidance is not None
             and gs >= cfg.diff_iters
         )
         key, k = jax.random.split(self.key)
-        params, opt_state, metrics, aux = self._train_step[
-            (view.is_front, shading != SHADING_ALBEDO, use_sds)
-        ](self.params, self.opt_state, self.grid, k, batch)
+        if grouped:
+            params, opt_state, metrics, aux = self._mv_step[
+                (shading != SHADING_ALBEDO, use_sds)
+            ](self.params, self.opt_state, self.grid, k, batch)
+            # per-view aux images; keep view 0 for the debug dumps
+            aux = jax.tree.map(lambda a: a[0], aux)
+        else:
+            params, opt_state, metrics, aux = self._train_step[
+                (view.is_front, shading != SHADING_ALBEDO, use_sds)
+            ](self.params, self.opt_state, self.grid, k, batch)
         ema = (
             self._ema_update(self.ema_params, params)
             if self.ema_params is not None else None

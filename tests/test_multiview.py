@@ -1,0 +1,141 @@
+"""Multi-view batched training (cfg.views_per_step > 1).
+
+The vmapped step's gradient must equal the MEAN of per-view gradients
+taken with the same fold_in(key, i) streams, and the Trainer must group
+novel views while keeping fronts single (reference renders exactly one
+view per step, provider.py:316 — this is a TPU capability upgrade).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from makeit3d_tpu.cameras import ViewSampler
+from makeit3d_tpu.config import Config
+
+CFG_KW = dict(
+    h=24, w=24,
+    max_steps=64,
+    train_samples_per_ray=16,
+    eval_samples_per_ray=16,
+    grid_size=32,
+    albedo_iters=0,
+    diff_iters=10_000,
+    iters=50,
+    guidance="none",
+    backbone="fourier",
+    mlp_hidden=32, mlp_layers=3, mlp_multires=4,
+)
+
+
+def _setup():
+    from makeit3d_tpu.models.field import make_field
+    from makeit3d_tpu.models.renderer import RenderSettings
+    from makeit3d_tpu.ops.grid import init_density_grid
+    from makeit3d_tpu.training.optimizer import (
+        make_lr_schedule, make_optimizer,
+    )
+
+    cfg = Config(**CFG_KW)
+    field = make_field(cfg)
+    key = jax.random.PRNGKey(0)
+    params = field.init(key, jnp.zeros((8, 3)), jnp.zeros((8, 3)))
+    optimizer = make_optimizer(cfg, make_lr_schedule(cfg))
+    grid = init_density_grid(cfg.cascade, cfg.grid_size)
+    grid = grid._replace(occ=jnp.ones_like(grid.occ))
+    settings = RenderSettings.from_config(cfg, training=True)
+    return cfg, field, params, optimizer, grid, settings
+
+
+def _view_batch(cfg, view, shading=1, ambient=0.1):
+    return {
+        "rays_o": jnp.asarray(view.rays_o.reshape(-1, 3)),
+        "rays_d": jnp.asarray(view.rays_d.reshape(-1, 3)),
+        "depth_scale": jnp.asarray(view.depth_scale.reshape(-1)),
+        "is_large": jnp.asarray(1.0 if view.is_large else 0.0),
+        "ref_rgba": jnp.zeros((512, 512, 4)),
+        "ref_depth": jnp.full((512, 512), 0.5),
+        "obj_mask": jnp.ones((512, 512)),
+        "diff_phase": jnp.asarray(0.0),
+        "shading_mode": jnp.asarray(shading, jnp.int32),
+        "ambient_ratio": jnp.asarray(ambient, jnp.float32),
+    }
+
+
+def test_multiview_grad_is_mean_of_per_view_grads():
+    from makeit3d_tpu.training.trainer import (
+        MV_VIEW_KEYS, build_loss_fn, make_multiview_step,
+    )
+
+    cfg, field, params, optimizer, grid, settings = _setup()
+    opt_state = optimizer.init(params)
+    sampler = ViewSampler(cfg, type="train", H=cfg.h, W=cfg.w, size=8,
+                          seed=1)
+    views = [sampler.get(1), sampler.get(2), sampler.get(3)]
+    batches = [_view_batch(cfg, v) for v in views]
+    key = jax.random.PRNGKey(42)
+
+    # reference: mean of per-view grads with the documented key streams
+    loss_fn = build_loss_fn(cfg, field, settings, None, is_front=False,
+                            shaded=True)
+
+    def single_grad(i):
+        k = jax.random.fold_in(key, i)
+        g = jax.grad(lambda p: loss_fn(p, grid, k, batches[i])[0])(params)
+        return g
+
+    want = jax.tree.map(
+        lambda *gs: jnp.mean(jnp.stack(gs), 0),
+        *[single_grad(i) for i in range(3)],
+    )
+
+    # multi-view step gradient, recovered from the Adan update by running
+    # the same optimizer on `want`... simpler: call the mv step and the
+    # manually-averaged update and compare resulting params
+    mv = make_multiview_step(cfg, field, optimizer, settings, None,
+                             shaded=True)
+    stacked = {
+        k: (jnp.stack([b[k] for b in batches])
+            if k in MV_VIEW_KEYS else batches[0][k])
+        for k in batches[0]
+    }
+    p_mv, _, metrics, _ = mv(params, opt_state, grid, key, stacked)
+
+    updates, _ = optimizer.update(want, opt_state, params)
+    p_want = jax.tree.map(lambda p, u: p + u, params, updates)
+
+    # vmap-mean vs stack-mean reassociation noise gets amplified by
+    # Adan's eps-normalized update on near-zero-grad coords (same
+    # phenomenon as tests/test_split_step.py's parity bound)
+    for a, b in zip(jax.tree.leaves(p_mv), jax.tree.leaves(p_want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-6)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_trainer_groups_novel_views(tmp_path):
+    from makeit3d_tpu.training.trainer import Trainer
+
+    cfg = Config(workspace=str(tmp_path), views_per_step=3, **CFG_KW)
+    tr = Trainer(cfg, workspace=cfg.workspace, use_checkpoint="scratch",
+                 seed=5)
+    tr._host_rng = type("R", (), {"random": staticmethod(lambda: 0.45)})()
+    sampler = ViewSampler(cfg, type="train", H=cfg.h, W=cfg.w, size=8,
+                          seed=0)
+    tr.train_one_epoch(sampler)
+    # 8 views with front-every-4th: steps = front(0) + group(1,2,3) +
+    # front(4) + group(5,6,7) = 4 optimizer steps
+    assert tr.global_step == 4
+
+
+def test_hash_backbone_with_views_raises(tmp_path):
+    from makeit3d_tpu.training.trainer import Trainer
+
+    kw = dict(CFG_KW)
+    kw.pop("backbone")
+    cfg = Config(workspace=str(tmp_path), views_per_step=2,
+                 backbone="hashgrid", split_encode=True,
+                 hash_levels=4, log2_hashmap_size=10, **kw)
+    with pytest.raises(ValueError, match="vmap-safe"):
+        Trainer(cfg, workspace=cfg.workspace, use_checkpoint="scratch")
