@@ -263,6 +263,7 @@ def main():
     sds_iters_per_sec = None
     sds_mfu = None
     sds_note = None
+    sds_mv4_views_per_sec = None
     try:
         if os.environ.get("BENCH_SKIP_SDS") == "1":
             raise RuntimeError("BENCH_SKIP_SDS=1")
@@ -306,6 +307,49 @@ def main():
             ips = n_sds / (time.time() - t0)
             return ips, fl
 
+        def run_sds_mv(sds_cfg, B=4):
+            """Multi-view batched SDS: B novel views through one vmapped
+            step (make_multiview_step) — B-fold bigger UNet/VAE matmuls
+            per dispatch. Reported as views/sec for comparison with the
+            single-view iters/sec."""
+            from makeit3d_tpu.training.trainer import (
+                MV_VIEW_KEYS, make_multiview_step,
+            )
+
+            sds_settings = RenderSettings.from_config(sds_cfg, training=True)
+            mv_step = make_multiview_step(
+                sds_cfg, field, optimizer, sds_settings, guidance,
+                shaded=False, with_sds=True)
+            s_sampler = ViewSampler(sds_cfg, type="train", H=sds_cfg.h,
+                                    W=sds_cfg.w, size=100, seed=0)
+            vs = [s_sampler.get(1 + j) for j in range(B)]
+            vs = [v for v in vs if not v.is_front][:B]
+            batch = {
+                "rays_o": jnp.stack(
+                    [jnp.asarray(v.rays_o.reshape(-1, 3)) for v in vs]),
+                "rays_d": jnp.stack(
+                    [jnp.asarray(v.rays_d.reshape(-1, 3)) for v in vs]),
+                "depth_scale": jnp.stack(
+                    [jnp.asarray(v.depth_scale.reshape(-1)) for v in vs]),
+                "is_large": jnp.asarray(
+                    [1.0 if v.is_large else 0.0 for v in vs]),
+                "shading_mode": jnp.asarray(SHADING_ALBEDO, jnp.int32),
+                "ambient_ratio": jnp.asarray(1.0, jnp.float32),
+                **consts,
+                "diff_phase": jnp.asarray(1.0),
+                "text_z": jnp.stack([text_z] * len(vs)),
+                "text_z_clip": jnp.stack([text_pooled] * len(vs)),
+                "gparams": guidance.params,
+            }
+            p2, o2, m, _ = mv_step(params, opt_state, grid, key, batch)
+            _ = float(np.asarray(m["loss"]))
+            n_it = 5
+            t0 = time.time()
+            for _i in range(n_it):
+                p2, o2, m, _ = mv_step(p2, o2, grid, key, batch)
+            _ = float(np.asarray(m["loss"]))
+            return n_it * len(vs) / (time.time() - t0)
+
         attempts = [(cfg, 0), (cfg, 1),
                     (Config(guidance="none", backbone="fourier",
                             h=64, w=64), 2)]
@@ -318,6 +362,11 @@ def main():
                     sds_mfu = round(fl * ips / V5E_PEAK_FLOPS, 4)
                 if sds_cfg.h != cfg.h:
                     sds_note = f"measured at {sds_cfg.h}x{sds_cfg.w} render"
+                try:  # multi-view batched SDS (best-effort add-on)
+                    sds_mv4_views_per_sec = round(run_sds_mv(sds_cfg), 3)
+                except Exception as e2:
+                    print(f"[bench] mv-SDS skipped: {type(e2).__name__}: "
+                          f"{e2}")
                 break
             except Exception as e:  # worker fault: respawn + re-roll
                 last_err = e
@@ -341,6 +390,7 @@ def main():
         "hash_albedo_iters_per_sec": hash_albedo_ips,
         "sds_iters_per_sec": sds_iters_per_sec,
         "sds_mfu": sds_mfu,
+        "sds_mv4_views_per_sec": sds_mv4_views_per_sec,
         "sds_note": sds_note,
         "grid_source": grid_source,
         "timing": "host-fetch barrier (block_until_ready unreliable on relay)",
