@@ -30,6 +30,11 @@ def main():
     prev_dir = sys.argv[4] if len(sys.argv) > 4 else None
 
     import jax
+
+    # honor JAX_PLATFORMS=cpu despite the axon sitecustomize override
+    # (it calls jax.config.update("jax_platforms", "axon,cpu") on import)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from makeit3d_tpu.cameras import ViewSampler
