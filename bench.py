@@ -325,6 +325,11 @@ def main():
             vs = [s_sampler.get(1 + j) for j in range(B)]
             vs = [v for v in vs if not v.is_front][:B]
             batch = {
+                # **consts FIRST: it carries scalar is_large/diff_phase
+                # defaults that must not clobber the batched entries below
+                # (a trailing **consts silently re-scalared is_large and
+                # broke the vmap in_axes: "rank should be at least 1")
+                **consts,
                 "rays_o": jnp.stack(
                     [jnp.asarray(v.rays_o.reshape(-1, 3)) for v in vs]),
                 "rays_d": jnp.stack(
@@ -335,7 +340,6 @@ def main():
                     [1.0 if v.is_large else 0.0 for v in vs]),
                 "shading_mode": jnp.asarray(SHADING_ALBEDO, jnp.int32),
                 "ambient_ratio": jnp.asarray(1.0, jnp.float32),
-                **consts,
                 "diff_phase": jnp.asarray(1.0),
                 "text_z": jnp.stack([text_z] * len(vs)),
                 "text_z_clip": jnp.stack([text_pooled] * len(vs)),
