@@ -157,8 +157,17 @@ def march_rays(
     cum = jnp.cumsum(occ_mask.astype(jnp.int32), axis=-1)  # [N, K]
     total = cum[:, -1]  # [N]
     want = jnp.arange(1, S + 1, dtype=jnp.int32)  # [S]
-    # slot s <- smallest k with cum[k] == s+1  (vectorized searchsorted)
-    slot_idx = jax.vmap(lambda c: jnp.searchsorted(c, want, side="left"))(cum)
+    # slot s <- smallest k with cum[k] == s+1. Since cum is nondecreasing
+    # this equals searchsorted(cum, s+1, left) == #{k : cum[k] < s+1},
+    # computed as a fused compare+reduce over the lattice axis. The
+    # count form is 24x faster on TPU than the vmapped searchsorted it
+    # replaces (XLA lowers batched searchsorted to a serial while-loop;
+    # measured 165 ms vs 7 ms at [16384, 512] -> [16384, 96],
+    # scripts/profile_march.py) and the [N, K, S] compare fuses into the
+    # reduction without materializing.
+    slot_idx = jnp.sum(
+        (cum[:, :, None] < want[None, None, :]).astype(jnp.int32), axis=1
+    )
     valid = want[None, :] <= total[:, None]  # [N, S]
     # Invalid slots get DISTINCT fallback lattice indices (evenly spread
     # over the ray) instead of all clamping to K-1. Clamping gave every
