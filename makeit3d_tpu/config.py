@@ -62,15 +62,20 @@ class Config:
     fp16: bool = False            # on TPU this selects bfloat16 compute
     backbone: str = "hashgrid"    # hashgrid (tcnn equivalent) | vanilla | fourier
     # fourier backbone (TPU flagship): an MXU-aligned frequency-encoded
-    # ResMLP. Rationale (docs/TPU_NOTES.md "scatter ceiling"): XLA:TPU
+    # MLP. Rationale (docs/TPU_NOTES.md "scatter ceiling"): XLA:TPU
     # scatter-add tops out at ~20M rows/s, capping ANY grid/hash-style
     # encoder's backward at minutes per 128x128 shaded step, while the
     # MXU runs matmul backward at ~150 TFLOP/s. The flagship field is
-    # therefore matmul-only: sin/cos bands -> wide ResMLP, analytic
-    # normals (one batched vjp instead of 7x FD probes).
+    # therefore matmul-only: sin/cos bands -> wide MLP, analytic
+    # normals computed inside the forward program.
     mlp_hidden: int = 256
     mlp_layers: int = 6
     mlp_multires: int = 10
+    # "relu": plain-ReLU chain via the fused Pallas kernel (forward +
+    # analytic normal + hand-derived double backward, all MXU-resident;
+    # ops/pallas/fused_mlp.py). "resmlp": LayerNorm/SiLU ResMLP under
+    # XLA autodiff (round-2 pre-fused flagship, kept for comparison).
+    mlp_arch: str = "relu"
     # Novel views per optimizer step (>1 batches the render + frozen
     # UNet/CLIP towers over a leading view axis — bigger MXU matmuls —
     # and the gradient is the per-view mean; reference renders exactly

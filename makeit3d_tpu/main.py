@@ -109,9 +109,13 @@ def parse_args(argv=None):
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler (xprof) trace of epoch 2 here")
     p.add_argument("--mlp_hidden", type=int, default=d.mlp_hidden,
-                   help="fourier backbone: ResMLP width (MXU-aligned)")
+                   help="fourier backbone: MLP width (MXU-aligned)")
     p.add_argument("--mlp_layers", type=int, default=d.mlp_layers)
     p.add_argument("--mlp_multires", type=int, default=d.mlp_multires)
+    p.add_argument("--mlp_arch", type=str, default=d.mlp_arch,
+                   choices=["relu", "resmlp"],
+                   help="fourier backbone MLP: fused-kernel plain-ReLU "
+                        "chain or XLA ResMLP")
     p.add_argument("--views_per_step", type=int, default=d.views_per_step,
                    help="novel views batched per optimizer step (MLP "
                         "backbones; front views stay single)")

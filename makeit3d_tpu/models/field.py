@@ -263,15 +263,158 @@ class VanillaField(nn.Module):
         return sigma, albedo, jnp.zeros_like(albedo)
 
 
+class FourierField(nn.Module):
+    """TPU flagship: frequency-encoded plain-ReLU MLP with a FUSED
+    Pallas evaluation (forward + analytic normal + hand-derived double
+    backward in three MXU-resident programs; ops/pallas/fused_mlp.py).
+
+    Same math family as VanillaField / the reference's vanilla backbone
+    (nerf/network.py) but with the ResMLP's LayerNorm/SiLU swapped for a
+    plain ReLU chain: relu'' == 0 a.e. makes the training backward
+    through the analytic normal a pure mask-gated matmul chain the
+    fused kernel can compute exactly (module docstring there derives
+    it). Equivalent tier: tiny-cuda-nn's fully fused MLP
+    (nerf/network_tcnn.py:54-65), which also pairs a plain-ReLU MLP
+    with the hash encode — tcnn settles for finite-difference normals;
+    this field keeps analytic ones.
+
+    Params live as raw arrays (w0/b0/wh/bh/wo/bo) rather than nested
+    Dense modules so the kernel consumes them directly. The input width
+    is lane-padded to 128 (encoder emits 3 + 6*multires dims); padded
+    rows of w0 are inert (their input lanes are always zero).
+    """
+
+    bound: float = 1.0
+    blob_density: float = 5.0
+    blob_radius: float = 0.1
+    hidden_dim: int = 256
+    num_layers: int = 6           # total dense layers (>= 3)
+    multires: int = 10
+    lambert_min: float = 0.0
+    dtype: Any = jnp.bfloat16     # kernel matmul dtype
+
+    IN_PAD = 128
+
+    def setup(self):
+        from ..ops.pallas.fused_mlp import OUT_PAD
+
+        self.encoder = FreqEncoder(input_dim=3, multires=self.multires)
+        enc_dim = self.encoder.output_dim
+        assert enc_dim <= self.IN_PAD, (enc_dim, self.IN_PAD)
+        H, NH = self.hidden_dim, self.num_layers - 2
+        assert NH >= 1, self.num_layers
+        lecun = nn.initializers.lecun_normal()
+
+        def w0_init(key):
+            w = jnp.zeros((self.IN_PAD, H), jnp.float32)
+            return w.at[:enc_dim].set(lecun(key, (enc_dim, H)))
+
+        def wh_init(key):
+            ks = jax.random.split(key, NH)
+            return jnp.stack([lecun(k, (H, H)) for k in ks])
+
+        def wo_init(key):
+            w = jnp.zeros((H, OUT_PAD), jnp.float32)
+            return w.at[:, :4].set(lecun(key, (H, 4)))
+
+        self.w0 = self.param("w0", w0_init)
+        self.b0 = self.param("b0", nn.initializers.zeros, (H,))
+        self.wh = self.param("wh", wh_init)
+        self.bh = self.param("bh", nn.initializers.zeros, (NH, H))
+        self.wo = self.param("wo", wo_init)
+        self.bo = self.param("bo", nn.initializers.zeros, (OUT_PAD,))
+
+    def gaussian(self, x):
+        # vanilla-family blob (reference: network.py:116-122)
+        d = jnp.sum(x**2, axis=-1)
+        return self.blob_density * jnp.exp(-d / (self.blob_radius**2))
+
+    def _encode_padded(self, x):
+        e = self.encoder(x, bound=self.bound)
+        pad = self.IN_PAD - e.shape[-1]
+        return jnp.pad(e, ((0, 0), (0, pad)))
+
+    def _mlp(self, e, with_grad: bool):
+        """Dispatch: fused Pallas kernel on TPU, jnp twin elsewhere.
+        Pads the sample axis to the kernel tile and slices back."""
+        from ..ops.pallas.fused_mlp import (
+            fused_relu_mlp, relu_mlp_reference,
+        )
+
+        args = (self.w0, self.b0, self.wh, self.bh, self.wo, self.bo)
+        M = e.shape[0]
+        # the fused kernel wants MXU-aligned widths; tiny test/dryrun
+        # configs (hidden 32) take the jnp twin on every backend
+        if jax.default_backend() != "tpu" or self.hidden_dim % 128:
+            return relu_mlp_reference(*args, e, with_grad=with_grad,
+                                      compute_dtype=self.dtype)
+        tile = 512
+        pad = (-M) % tile  # pad rows are zero; their cotangents are too
+        ep = jnp.pad(e, ((0, pad), (0, 0)))
+        outs = fused_relu_mlp(*args, ep, with_grad=with_grad,
+                              tile=tile, compute_dtype=self.dtype)
+        return tuple(o[:M] for o in outs)
+
+    def common(self, x):
+        (out,) = self._mlp(self._encode_padded(x), with_grad=False)
+        sigma = trunc_exp(out[:, 0] + self.gaussian(x))
+        albedo = jax.nn.sigmoid(out[:, 1:4])
+        return sigma, albedo
+
+    def density(self, x):
+        sigma, albedo = self.common(x)
+        return {"sigma": sigma, "albedo": albedo}
+
+    def sigma_albedo_normal(self, x):
+        """Analytic normal from the kernel's in-program gradient chain.
+
+        sigma = trunc_exp(out0 + blob);  d sigma/dx = trunc_exp'(v) *
+        (g_e . dE/dx + d blob/dx), with g_e computed INSIDE the fused
+        forward and the (sparse, elementwise) encoder Jacobian
+        contraction done here.
+        """
+        e = self._encode_padded(x)
+        out, ge = self._mlp(e, with_grad=True)
+        v = out[:, 0] + self.gaussian(x)
+        sigma = trunc_exp(v)
+        albedo = jax.nn.sigmoid(out[:, 1:4])
+
+        # encoder Jacobian contraction: e = [x, sin(f_k x_j), cos(...)]
+        F = self.encoder.n_freqs
+        fb = jnp.asarray(self.encoder.freq_bands)        # [F]
+        xb = x[:, None, :] * fb[:, None]                 # [M, F, 3]
+        sin, cos = jnp.sin(xb), jnp.cos(xb)
+        ge_x = ge[:, :3]
+        ge_sin = ge[:, 3:3 + 3 * F].reshape(-1, F, 3)
+        ge_cos = ge[:, 3 + 3 * F:3 + 6 * F].reshape(-1, F, 3)
+        g3 = ge_x + jnp.sum(
+            fb[None, :, None] * (ge_sin * cos - ge_cos * sin), axis=1)
+
+        dgauss = self.gaussian(x)[:, None] * (-2.0 * x
+                                              / (self.blob_radius**2))
+        dtrunc = jnp.exp(jnp.minimum(v, 15.0))           # trunc_exp'
+        dsigma_dx = dtrunc[:, None] * (g3 + dgauss)
+        normal = safe_normalize(-dsigma_dx)
+        return sigma, albedo, jnp.nan_to_num(normal)
+
+    def __call__(self, x, d, light_d=None, ratio=1.0,
+                 shading_mode=SHADING_ALBEDO):
+        """Init/tracing entry (touches every param)."""
+        sigma, albedo, normal = self.sigma_albedo_normal(x)
+        return sigma, albedo, normal
+
+
 def sigma_albedo_normal(field: nn.Module, variables, x):
     """(sigma, albedo, normal) for any backbone, as a pure function.
 
-    Hash backbone: batched finite differences inside the module. Vanilla
-    backbone: analytic normal via one jax.vjp over the applied module
-    (differentiable, so normals backprop into the field like the
-    reference's create_graph=True autograd normal, network.py:186-191).
+    Hash backbone: batched finite differences inside the module.
+    Fourier backbone: fused-kernel analytic normal (gradient chain runs
+    inside the forward program). Vanilla backbone: analytic normal via
+    one jax.vjp over the applied module (differentiable, so normals
+    backprop into the field like the reference's create_graph=True
+    autograd normal, network.py:186-191).
     """
-    if isinstance(field, HashGridField):
+    if isinstance(field, (HashGridField, FourierField)):
         return field.apply(variables, x, method="sigma_albedo_normal")
 
     def common(xx):
@@ -615,15 +758,28 @@ def make_field(cfg) -> nn.Module:
         # XLA:TPU scatter-throughput ceiling (~20M rows/s) and the
         # probes+scatter fused-backward fault that gates the hash
         # backbone (docs/TPU_NOTES.md).
-        return VanillaField(
+        if getattr(cfg, "mlp_arch", "relu") == "resmlp":
+            # LayerNorm/SiLU ResMLP under XLA autodiff (the pre-fused
+            # round-2 flagship, kept for comparison / checkpoints)
+            return VanillaField(
+                bound=cfg.bound,
+                blob_density=cfg.blob_density,
+                blob_radius=cfg.blob_radius,
+                hidden_dim=cfg.mlp_hidden,
+                num_layers=cfg.mlp_layers,
+                multires=cfg.mlp_multires,
+                dtype=jnp.bfloat16,
+            )
+        # default: plain-ReLU chain through the fused Pallas kernel
+        # (forward + analytic normal + hand-derived double backward in
+        # three MXU-resident programs, ops/pallas/fused_mlp.py)
+        return FourierField(
             bound=cfg.bound,
             blob_density=cfg.blob_density,
             blob_radius=cfg.blob_radius,
             hidden_dim=cfg.mlp_hidden,
             num_layers=cfg.mlp_layers,
             multires=cfg.mlp_multires,
-            # bf16 matmuls by default (MXU fast path; params and the
-            # sigma/albedo nonlinearities stay f32 inside the module)
             dtype=jnp.bfloat16,
         )
     raise NotImplementedError(f"backbone {cfg.backbone}")
