@@ -134,8 +134,28 @@ def render_occupancy(
 
     flat_x = m.xyzs.reshape(-1, 3)
     flat_d = m.dirs.reshape(-1, 3)
+    normals_perturb = None
     if field_eval is not None:
         sigmas, rgbs, normals = field_eval(flat_x, flat_d, light_d)
+    elif training and shaded and s.compute_smooth:
+        # Batch the main eval and the smooth-loss perturbed eval into
+        # ONE field program: [x; x+noise] through a single chunked
+        # sigma/albedo/normal pass (2x the rows -> bigger MXU tiles,
+        # half the launches), then shade the first half here. Same math
+        # as the separate smooth_eval below (the reference evaluates the
+        # perturbed normals separately, renderer.py:521-524).
+        from .field import _shade
+
+        noise = jax.random.normal(k_smooth, flat_x.shape) * s.smooth_sigma
+        both = jnp.concatenate([flat_x, flat_x + noise], axis=0)
+        sig_all, alb_all, nrm_all = sigma_albedo_normal_chunked(
+            field, variables, both, chunk=s.field_chunk)
+        M = flat_x.shape[0]
+        sigmas = sig_all[:M]
+        normals = nrm_all[:M]
+        rgbs = _shade(alb_all[:M], normals, light_d, ambient_ratio,
+                      shading_mode, field.lambert_min)
+        normals_perturb = nrm_all[M:]
     else:
         sigmas, rgbs, normals = apply_field_chunked(
             field, variables, flat_x, flat_d,
@@ -185,7 +205,7 @@ def render_occupancy(
             # surface-normal smoothness (reference: renderer.py:521-524)
             if smooth_eval is not None:
                 normals_perturb = smooth_eval(flat_x)
-            else:
+            elif normals_perturb is None:  # not pre-batched above
                 noise = (jax.random.normal(k_smooth, flat_x.shape)
                          * s.smooth_sigma)
                 _, _, normals_perturb = sigma_albedo_normal_chunked(

@@ -107,6 +107,22 @@ def sph_from_ray(
     )
 
 
+def _pool_dilate(occ: jnp.ndarray) -> jnp.ndarray:
+    """4x max-pool each cascade level, then dilate by one coarse cell
+    (3^3 neighborhood max). The result is a conservative superset: any
+    fine-occupied voxel marks its coarse cell AND all neighbors, so a
+    coarse probe within one cell of a surface always hits. jnp.roll
+    wraps at the boundary — extra (spurious) coarse occupancy only, so
+    still conservative."""
+    C, H = occ.shape[0], occ.shape[-1]
+    Hc = H // 4
+    p = occ.reshape(C, Hc, 4, Hc, 4, Hc, 4).max(axis=(2, 4, 6))
+    for ax in (1, 2, 3):
+        p = jnp.maximum(p, jnp.maximum(
+            jnp.roll(p, 1, axis=ax), jnp.roll(p, -1, axis=ax)))
+    return p
+
+
 class MarchedRays(NamedTuple):
     """Fixed-budget marched samples for a batch of rays."""
 
@@ -129,10 +145,12 @@ def march_rays(
     n_samples: int = 96,
     perturb: bool = False,
     key: Optional[jax.Array] = None,
+    two_level: Optional[bool] = None,
 ) -> MarchedRays:
     """Occupancy-compacted marching with static [N, S] output.
 
     rays_o/rays_d: [N, 3]; occ: [C, H, H, H] uint8; nears/fars: [N].
+    two_level: None = auto (on for production-size lattices, see below).
     """
     N = rays_o.shape[0]
     K = max_steps
@@ -145,8 +163,41 @@ def march_rays(
     else:
         noise = jnp.zeros((N, 1))
 
+    # --- two-level probe: skip leading empty space before the fine pass.
+    # The occupancy gather is the march's HBM floor (~64 ms at 8.4M rows,
+    # docs/TPU_NOTES.md): probe K/4 coarse lattice points against a
+    # 4x-pooled + 1-cell-dilated grid (conservative superset), find the
+    # first coarse hit per ray, and start a HALF-length fine lattice
+    # there — 2.1M + 4.2M lookups instead of 8.4M, and every [N, K]
+    # downstream op (cumsum/count/take) halves. t_start stays an integer
+    # multiple of dt past `near`, so surviving samples land on exactly
+    # the lattice points the single-level march would have produced; a
+    # ray whose occupied span outruns the K/2 window loses tail samples,
+    # the same budget semantics as the S-slot cap. Gated on K >= 256:
+    # tiny test configs keep the exhaustive single-level probe.
+    if two_level is None:
+        two_level = K >= 256
+    lattice0 = nears[:, None]
+    if two_level and K % 4 == 0 and occ.shape[-1] % 4 == 0:
+        Kc, K = K // 4, K // 2
+        occ_c = _pool_dilate(occ)
+        kc = jnp.arange(Kc, dtype=jnp.float32)[None, :]
+        t_c = nears[:, None] + (4.0 * kc + 2.0) * dt  # window centers
+        pos_c = rays_o[:, None, :] + rays_d[:, None, :] * t_c[..., None]
+        pos_c = jnp.clip(pos_c, -bound, bound)
+        mask_c = occupancy_lookup(occ_c, pos_c, bound) & (t_c < fars[:, None])
+        first = jnp.argmax(mask_c, axis=-1)  # 0 when no hit
+        any_hit = jnp.any(mask_c, axis=-1)
+        # back off one coarse window (dilation already covers the spatial
+        # neighborhood; the backoff covers the along-ray quantization)
+        start = jnp.maximum(first - 1, 0).astype(jnp.float32)[:, None] * (
+            4.0 * dt)
+        lattice0 = jnp.where(any_hit[:, None],
+                             nears[:, None] + start,
+                             fars[:, None])  # no hits -> empty window
+
     k = jnp.arange(K, dtype=jnp.float32)[None, :]  # [1, K]
-    t = nears[:, None] + (k + noise) * dt  # [N, K]
+    t = lattice0 + (k + noise) * dt  # [N, K]
     in_range = t < fars[:, None]
 
     pos = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]

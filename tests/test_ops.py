@@ -218,3 +218,39 @@ def test_occupancy_lookup_levels():
     hit = occupancy_lookup(jnp.asarray(occ), jnp.asarray([[0.05, 0.05, 0.05]]), 1.0)
     miss = occupancy_lookup(jnp.asarray(occ), jnp.asarray([[-0.9, 0.0, 0.0]]), 1.0)
     assert bool(hit[0]) and not bool(miss[0])
+
+
+def test_two_level_march_matches_single_level():
+    """With a compact object, the two-level march must produce exactly
+    the samples the exhaustive single-level probe would (same lattice:
+    t_start is an integer multiple of dt past near)."""
+    import numpy as np
+
+    from makeit3d_tpu.ops.marching import march_rays, near_far_from_aabb
+
+    H = 64
+    coords = (np.mgrid[0:H, 0:H, 0:H].astype(np.float32) + 0.5) / H * 2 - 1
+    sphere = (np.sqrt((coords**2).sum(0)) < 0.4).astype(np.uint8)
+    occ = jnp.asarray(sphere[None])
+
+    n = 64
+    theta = np.linspace(-0.5, 0.5, n).astype(np.float32)
+    rays_o = jnp.asarray(np.stack(
+        [np.zeros(n), np.zeros(n), -2.5 * np.ones(n)], -1).astype(np.float32))
+    rays_d = jnp.asarray(np.stack(
+        [np.sin(theta), np.zeros(n), np.cos(theta)], -1).astype(np.float32))
+    aabb = jnp.asarray([-1.0] * 3 + [1.0] * 3)
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, 0.1)
+
+    kw = dict(max_steps=512, n_samples=64, perturb=False)
+    m1 = march_rays(rays_o, rays_d, occ, 1.0, nears, fars,
+                    two_level=False, **kw)
+    m2 = march_rays(rays_o, rays_d, occ, 1.0, nears, fars,
+                    two_level=True, **kw)
+    assert bool(jnp.any(m1.valid))
+    np.testing.assert_array_equal(np.asarray(m1.valid), np.asarray(m2.valid))
+    v = np.asarray(m1.valid)
+    np.testing.assert_allclose(np.asarray(m1.ts)[v], np.asarray(m2.ts)[v],
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m1.real_dts)[v],
+                               np.asarray(m2.real_dts)[v], rtol=0, atol=1e-6)
