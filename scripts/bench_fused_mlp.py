@@ -64,11 +64,17 @@ def main():
           f"backend={jax.default_backend()}", flush=True)
 
     # --- parity on this backend (bf16 kernel vs f32 reference) ---
+    # NB: slice OUTSIDE jit and pass as an argument. A zero-arg jit
+    # closure over `e` bakes the full [M, 128] array into the HLO as a
+    # constant — an ~800MB upload through the remote-compile relay that
+    # looks like a compile hang.
+    e4 = jax.block_until_ready(e[:4096])
+    co4, cg4 = c_out[:4096], c_ge[:4096]
     out_k, ge_k = jax.jit(
-        lambda: fused_relu_mlp(*params, e[:4096], with_grad=True))()
+        lambda e_: fused_relu_mlp(*params, e_, with_grad=True))(e4)
     out_r, ge_r = jax.jit(
-        lambda: relu_mlp_reference(*params, e[:4096], with_grad=True,
-                                   compute_dtype=jnp.bfloat16))()
+        lambda e_: relu_mlp_reference(*params, e_, with_grad=True,
+                                      compute_dtype=jnp.bfloat16))(e4)
     err_o = float(jnp.max(jnp.abs(out_k[:, :4] - out_r[:, :4])))
     err_g = float(jnp.max(jnp.abs(ge_k - ge_r)))
     scale = float(jnp.max(jnp.abs(out_r[:, :4])))
@@ -94,29 +100,29 @@ def main():
     timed("xla fwd+ge", lambda i: r_g(e * (1 + 1e-7 * i)), n, grad_flops)
 
     # --- training-style backward (cotangents on out AND ge) ---
-    def loss_k(w0, b0, wh, bh, wo, bo, e_):
+    def loss_k(w0, b0, wh, bh, wo, bo, e_, co, cg):
         out, ge = fused_relu_mlp(w0, b0, wh, bh, wo, bo, e_,
                                  with_grad=True)
-        return jnp.sum(out * c_out) + jnp.sum(ge * c_ge)
+        return jnp.sum(out * co) + jnp.sum(ge * cg)
 
     gk = jax.jit(jax.grad(loss_k, argnums=(0, 1, 2, 3, 4, 5)))
 
     def run_k(i):
-        g = gk(*params, e * (1 + 1e-7 * i))
+        g = gk(*params, e * (1 + 1e-7 * i), c_out, c_ge)
         return g[0][0, 0]
 
     timed("kernel train bwd", run_k, n, grad_flops + bwd_flops)
 
-    def loss_r(w0, b0, wh, bh, wo, bo, e_):
+    def loss_r(w0, b0, wh, bh, wo, bo, e_, co, cg):
         out, ge = relu_mlp_reference(w0, b0, wh, bh, wo, bo, e_,
                                      with_grad=True,
                                      compute_dtype=jnp.bfloat16)
-        return jnp.sum(out * c_out) + jnp.sum(ge * c_ge)
+        return jnp.sum(out * co) + jnp.sum(ge * cg)
 
     gr = jax.jit(jax.grad(loss_r, argnums=(0, 1, 2, 3, 4, 5)))
 
     def run_r(i):
-        g = gr(*params, e * (1 + 1e-7 * i))
+        g = gr(*params, e * (1 + 1e-7 * i), c_out, c_ge)
         return g[0][0, 0]
 
     timed("xla train bwd", run_r, n, grad_flops + bwd_flops)
