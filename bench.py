@@ -201,9 +201,22 @@ def main():
     _ = float(np.asarray(metrics["loss"]))  # fetch = true completion
     rng = np.random.default_rng(0)  # reset the shading-mix stream
 
-    # per-step FLOPs of the shaded novel step (the hot program pair)
+    # per-step FLOPs of the shaded novel step (the hot program pair).
+    # XLA's cost model cannot see inside the fused-MLP Pallas custom
+    # call (it counts it as ~0 FLOPs), so add the kernel's analytic
+    # count: per row, fwd = 2*(DIN*H + (L-2)*H*H + H*OUT_PAD); the
+    # in-kernel gradient chain ~2x fwd and the hand-derived training
+    # backward ~5x fwd (derivation: scripts/bench_fused_mlp.py), and
+    # the shaded step pushes 2x rows (main + batched smooth eval).
     flops_step = measure_flops(steps[(False, True)], params, opt_state,
                                grid, key, novel_batch)
+    if cfg.backbone == "fourier" and cfg.mlp_hidden % 128 == 0:
+        from makeit3d_tpu.ops.pallas.fused_mlp import OUT_PAD
+        H_, L_ = cfg.mlp_hidden, cfg.mlp_layers
+        fwd_row = 2 * (128 * H_ + (L_ - 2) * H_ * H_ + H_ * OUT_PAD)
+        rows = cfg.h * cfg.w * cfg.train_samples_per_ray * 2
+        pallas_flops = rows * fwd_row * 7  # grad chain 2x + train bwd 5x
+        flops_step = (flops_step or 0.0) + pallas_flops
 
     # timed run, including the every-16-step grid refresh like training;
     # steps chain data-dependently (params/opt_state), ONE fetch at end
@@ -369,11 +382,21 @@ def main():
                     sds_mfu = round(fl * ips / V5E_PEAK_FLOPS, 4)
                 if sds_cfg.h != cfg.h:
                     sds_note = f"measured at {sds_cfg.h}x{sds_cfg.w} render"
-                try:  # multi-view batched SDS (best-effort add-on)
-                    sds_mv4_views_per_sec = round(run_sds_mv(sds_cfg), 3)
-                except Exception as e2:
-                    print(f"[bench] mv-SDS skipped: {type(e2).__name__}: "
-                          f"{e2}")
+                # multi-view batched SDS (best-effort add-on); 4 views
+                # of 512^2 SDS towers can exceed the 15.75G HBM - fall
+                # back to a 2-view batch before giving up
+                for mv_B in (4, 2):
+                    try:
+                        sds_mv4_views_per_sec = round(
+                            run_sds_mv(sds_cfg, B=mv_B), 3)
+                        if mv_B != 4:
+                            sds_note = ((sds_note + "; ") if sds_note
+                                        else "") + f"mv batch {mv_B}"
+                        break
+                    except Exception as e2:
+                        print(f"[bench] mv-SDS B={mv_B} skipped: "
+                              f"{type(e2).__name__}: {e2}")
+                        time.sleep(20.0)  # let a faulted worker respawn
                 break
             except Exception as e:  # worker fault: respawn + re-roll
                 last_err = e
