@@ -276,7 +276,7 @@ def main():
     sds_iters_per_sec = None
     sds_mfu = None
     sds_note = None
-    sds_mv4_views_per_sec = None
+    sds_mv_views_per_sec = None
     try:
         if os.environ.get("BENCH_SKIP_SDS") == "1":
             raise RuntimeError("BENCH_SKIP_SDS=1")
@@ -387,7 +387,7 @@ def main():
                 # back to a 2-view batch before giving up
                 for mv_B in (4, 2):
                     try:
-                        sds_mv4_views_per_sec = round(
+                        sds_mv_views_per_sec = round(
                             run_sds_mv(sds_cfg, B=mv_B), 3)
                         if mv_B != 4:
                             sds_note = ((sds_note + "; ") if sds_note
@@ -420,7 +420,7 @@ def main():
         "hash_albedo_iters_per_sec": hash_albedo_ips,
         "sds_iters_per_sec": sds_iters_per_sec,
         "sds_mfu": sds_mfu,
-        "sds_mv4_views_per_sec": sds_mv4_views_per_sec,
+        "sds_mv_views_per_sec": sds_mv_views_per_sec,
         "sds_note": sds_note,
         "grid_source": grid_source,
         "timing": "host-fetch barrier (block_until_ready unreliable on relay)",
