@@ -22,11 +22,14 @@ from makeit3d_tpu.ops.grid import init_density_grid, occupancy_lookup
 
 
 def test_trunc_exp_forward_and_clamped_grad():
-    x = jnp.asarray([0.0, 1.0, 20.0])
-    assert np.allclose(trunc_exp(x), np.exp([0.0, 1.0, 20.0]))
+    # forward AND backward clamp at 15 (forward clamp is the documented
+    # inf-guard deviation from the reference; see ops/activation.py)
+    x = jnp.asarray([0.0, 1.0, 20.0, 100.0])
+    assert np.allclose(trunc_exp(x), np.exp([0.0, 1.0, 15.0, 15.0]))
+    assert np.all(np.isfinite(np.asarray(trunc_exp(x))))
     g = jax.grad(lambda v: jnp.sum(trunc_exp(v)))(x)
-    # gradient is exp(min(x, 15))
-    assert np.allclose(g, np.exp([0.0, 1.0, 15.0]), rtol=1e-5)
+    # gradient is exp(min(x, 15)) — identical to the reference's backward
+    assert np.allclose(g, np.exp([0.0, 1.0, 15.0, 15.0]), rtol=1e-5)
 
 
 def test_morton_roundtrip(rng):
