@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import os
 import random
+import sys
 
 import numpy as np
 
@@ -135,6 +136,18 @@ def parse_args(argv=None):
         kw[k] = tuple(kw[k])
     cfg = Config(**kw)
     cfg = cfg.replace(workspace=os.path.join("results", args.workspace))
+    given = argv if argv is not None else sys.argv[1:]
+    if cfg.guidance == "none" and "--lambda_entropy" not in given:
+        # The binary-entropy loss has attractors at ws=0 AND ws=1; with
+        # no guidance there is no novel-view data term to oppose the
+        # ws=1 attractor, and the scene runs away to a solid opaque
+        # block once mean opacity crosses 0.5 (observed: fourier 128^2,
+        # epoch 6). Guidance-free mode is geometry-from-front-view only,
+        # so default the entropy weight down unless the user set it.
+        print("[WARN] --guidance none: lambda_entropy defaulted to 1e-3 "
+              "(the w=1 entropy attractor collapses unguided scenes); "
+              "pass --lambda_entropy explicitly to override")
+        cfg = cfg.replace(lambda_entropy=1e-3)
     return cfg, args
 
 
