@@ -189,7 +189,14 @@ def export_textured_mesh(
     if unwrap_mode == "charts":
         from .uv_unwrap import unwrap
 
-        ft_uv = unwrap(verts, tris, tex_size)
+        try:
+            ft_uv = unwrap(verts, tris, tex_size)
+        except RuntimeError as e:
+            # a degenerate/noisy isosurface can defeat chart packing;
+            # the per-triangle grid is seam-heavy but cannot fail
+            print(f"[WARN] chart unwrap failed ({e}); falling back to "
+                  "the per-triangle uniform atlas")
+            ft_uv = pack_uv_atlas(len(tris))
     else:
         ft_uv = pack_uv_atlas(len(tris))
     tex, _ = bake_texture(verts, tris, ft_uv, albedo_fn, tex_size)

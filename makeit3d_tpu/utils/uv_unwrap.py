@@ -170,8 +170,22 @@ def pack_charts(
     area = float((sizes[:, 0] * sizes[:, 1]).sum())
     scale = math.sqrt(occupancy * tex_size * tex_size / area)
 
+    # Margin feasibility: every chart costs at least (2*margin)^2 texels
+    # no matter how far the scale shrinks, so a noisy marching-cubes
+    # mesh with tens of thousands of tiny charts can be structurally
+    # unpackable at the default margin (observed: guidance-free teddy
+    # asset, 256^3 extraction). Shrink the margin until the fixed cost
+    # alone fits in half the atlas; 0.5px still separates bilinear taps
+    # at the raster's own eps.
+    margin_px = float(margin_px)
+    while (margin_px > 0.5
+           and n_charts * (2 * margin_px) ** 2 > 0.5 * tex_size * tex_size):
+        margin_px *= 0.5
+
     order = np.argsort(-sizes[:, 1])  # tallest first
-    for _ in range(64):
+    for attempt in range(64):
+        if attempt and attempt % 8 == 0:
+            margin_px = max(margin_px * 0.5, 0.5)  # margins block, too
         w = sizes[:, 0] * scale + 2 * margin_px
         h = sizes[:, 1] * scale + 2 * margin_px
         if w.max() > tex_size or h.max() > tex_size:

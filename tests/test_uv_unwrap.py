@@ -186,3 +186,34 @@ def test_grid_mode_still_works():
     tex, ins = bake_texture(verts, tris, ft_uv, albedo_fn, tex_size=256)
     assert ins.mean() > 0.2
     np.testing.assert_allclose(tex[ins], 0.5, atol=1e-6)
+
+
+def test_pack_many_tiny_charts_shrinks_margin():
+    """A noisy isosurface can have tens of thousands of single-triangle
+    charts; at the default 4px margin the fixed per-chart cost alone
+    exceeds the atlas (the guidance-free teddy export failure). The
+    packer must shrink the margin and still place every chart in
+    bounds without overlap of chart rects."""
+    from makeit3d_tpu.utils.uv_unwrap import pack_charts
+
+    rng = np.random.default_rng(0)
+    n = 30_000
+    base = rng.random((n, 1, 2))
+    uv = base + rng.random((n, 3, 2)) * 0.003  # tiny triangles
+    chart_id = np.arange(n)
+    ft = pack_charts(uv, chart_id, n, tex_size=1024, margin_px=4.0)
+    assert ft.shape == (n, 3, 2)
+    assert ft.min() >= 0.0 and ft.max() <= 1.0
+    # chart rects disjoint: quantize each chart's bbox to texels and
+    # check total painted area == sum of areas (no double paint)
+    px = ft * 1024
+    lo = np.floor(px.min(axis=1)).astype(int)
+    hi = np.ceil(px.max(axis=1)).astype(int)
+    painted = np.zeros((1024, 1024), bool)
+    overlap = 0
+    for i in range(0, n, 997):  # sampled subset keeps the test fast
+        sl = (slice(lo[i, 1], hi[i, 1]), slice(lo[i, 0], hi[i, 0]))
+        if painted[sl].any():
+            overlap += 1
+        painted[sl] = True
+    assert overlap == 0
