@@ -11,6 +11,8 @@ Prints one JSON line; paste the numbers into BASELINE.md.
 
 Usage:
   python scripts/fidelity.py CKPT [n_views] [res] [prev_render_dir]
+  env FIDELITY_BACKBONE=fourier overrides the field family (default
+  hashgrid) — must match the checkpoint's.
 """
 
 import glob
@@ -44,7 +46,8 @@ def main():
     from makeit3d_tpu.training.trainer import Trainer
     from makeit3d_tpu.utils.metrics import psnr, ssim
 
-    cfg = Config(guidance="none", workspace="results")
+    cfg = Config(guidance="none", workspace="results",
+                 backbone=os.environ.get("FIDELITY_BACKBONE", "hashgrid"))
     tr = Trainer(cfg, name="fidelity", use_checkpoint=ckpt)
     settings = RenderSettings.from_config(cfg, training=False)
 
