@@ -31,11 +31,19 @@ def extract_mesh(
     threshold: float = 10.0,
     bound: float = 1.0,
     chunk: int = 1 << 18,
+    min_component_frac: float = 0.005,
 ):
     """Chunked density query + isosurface (reference: renderer.py:167-190).
 
     density_fn: [N, 3] in [-bound, bound] -> [N] sigma (host numpy in/out).
     Returns verts [V, 3] in WORLD coordinates [-bound, bound], tris [T, 3].
+
+    min_component_frac > 0 removes floater dust before the isosurface:
+    connected components of the above-threshold voxel field smaller than
+    this fraction of the LARGEST component are zeroed (guidance-free /
+    early assets can carry millions of dust triangles that swamp the
+    atlas; the reference relies on SDS-converged fields being clean).
+    Pass 0 for raw reference behavior.
     """
     lin = np.linspace(-1, 1, resolution, dtype=np.float32) * bound
     grid = np.zeros((resolution,) * 3, np.float32)
@@ -44,6 +52,23 @@ def extract_mesh(
     for head in range(0, len(pts), chunk):
         tail = min(head + chunk, len(pts))
         grid.reshape(-1)[head:tail] = np.asarray(density_fn(pts[head:tail]))
+    if min_component_frac > 0:
+        try:
+            from scipy import ndimage
+
+            labels, n = ndimage.label(grid > threshold)
+            if n > 1:
+                counts = np.bincount(labels.ravel())
+                counts[0] = 0  # background
+                keep = counts >= counts.max() * min_component_frac
+                keep[0] = False
+                dropped = int(n - keep.sum())
+                if dropped:
+                    grid[~keep[labels]] = 0.0
+                    print(f"[mesh] dropped {dropped} dust components "
+                          f"(< {min_component_frac:.1%} of largest)")
+        except ImportError:
+            pass  # raw reference behavior without scipy
     verts, tris = marching_cubes(grid, threshold)
     # back to world coords: the lattice spans [-bound, bound], so the
     # texture bake queries the field at the true surface positions for

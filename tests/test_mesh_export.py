@@ -100,3 +100,26 @@ def test_export_textured_mesh(tmp_path):
     tex = cv2.imread(str(tmp_path / "albedo.png"))
     assert tex.shape == (256, 256, 3)
     assert tex.max() > 100  # non-empty bake
+
+
+def test_extract_mesh_drops_dust_components():
+    """A tiny floater blob far from the main body is removed by the
+    connected-component pre-filter; with frac=0 it is kept (raw
+    reference behavior)."""
+    import numpy as np
+
+    from makeit3d_tpu.utils.mesh_export import extract_mesh
+
+    def density_fn(p):
+        main = 50.0 * (np.linalg.norm(p, axis=-1) < 0.4)
+        dust = 50.0 * (np.linalg.norm(p - 0.8, axis=-1) < 0.03)
+        return main + dust
+
+    v_clean, t_clean, _ = extract_mesh(density_fn, resolution=96,
+                                       threshold=10.0)
+    v_raw, t_raw, _ = extract_mesh(density_fn, resolution=96,
+                                   threshold=10.0, min_component_frac=0.0)
+    assert len(t_raw) > len(t_clean) > 0
+    # no clean vertex near the dust blob; raw has some
+    assert not (np.linalg.norm(v_clean - 0.8, axis=-1) < 0.1).any()
+    assert (np.linalg.norm(v_raw - 0.8, axis=-1) < 0.1).any()
