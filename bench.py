@@ -408,6 +408,104 @@ def main():
     except Exception as e:  # never fail the bench line on the SDS phase
         print(f"[bench] SDS phase skipped: {type(e).__name__}: {e}")
 
+    # --- eval/orbit render phase: one 800x800 test frame as ONE scanned
+    # program (the Trainer's render_chunks_scan shape — VERDICT round-1
+    # item 9: the orbit frame used to be 157 sequential relay dispatches).
+    # Timed per frame INCLUDING the D2H image fetch, which is what the
+    # production test loop pays per written PNG. ---
+    eval_frame_ms = None
+    try:
+        if os.environ.get("BENCH_SKIP_EVAL") == "1":
+            raise RuntimeError("BENCH_SKIP_EVAL=1")
+        if dt > 120.0:
+            raise RuntimeError("degraded relay window")
+        from makeit3d_tpu.models.renderer import render_occupancy
+
+        es = RenderSettings.from_config(cfg, training=False)
+        t_sampler = ViewSampler(cfg, type="test", H=cfg.H, W=cfg.W,
+                                size=8, seed=0)
+        view = t_sampler.get(0)
+        B = cfg.max_ray_batch
+        n_rays = cfg.H * cfg.W
+        n_chunks = -(-n_rays // B)
+        pad = n_chunks * B - n_rays
+
+        def chunked(a, fill):
+            a = a.reshape(n_rays, -1)
+            tail = np.broadcast_to(fill, (pad, a.shape[1]))
+            return jnp.asarray(
+                np.concatenate([a, tail]).reshape(n_chunks, B, -1))
+
+        ro = chunked(view.rays_o.astype(np.float32), view.rays_o.reshape(-1, 3)[:1])
+        rd = chunked(view.rays_d.astype(np.float32), view.rays_d.reshape(-1, 3)[:1])
+        ds = chunked(view.depth_scale.astype(np.float32),
+                     np.ones((1, 1), np.float32))[..., 0]
+
+        @jax.jit
+        def eval_frame(params, grid, ro, rd, ds, key):
+            def body(_, inp):
+                o, d, s = inp
+                out = render_occupancy(
+                    field, params, grid, o, d, es, key, training=False,
+                    shading_mode=0, ambient_ratio=1.0, bg_color=1.0,
+                    perturb=False, depth_scale=s)
+                return _, (out["image"], out["depth"])
+            _, outs = jax.lax.scan(body, None, (ro, rd, ds))
+            return outs
+
+        img, _ = eval_frame(params, grid, ro, rd, ds, key)  # compile
+        _ = np.asarray(img)  # fetch = true completion
+        n_f = 3
+        t0 = time.time()
+        for _i in range(n_f):
+            img, _ = eval_frame(params, grid, ro, rd, ds, key)
+            _ = np.asarray(img)
+        eval_frame_ms = round((time.time() - t0) / n_f * 1000.0, 1)
+    except Exception as e:
+        print(f"[bench] eval phase skipped: {type(e).__name__}: {e}")
+
+    # --- refine-stage phase: one optimization step of the point-splat +
+    # gated-UNet neural renderer at full res (novel view: contextual +
+    # background + anchor losses; SDS towers measured separately above).
+    # Reference hot loop: nerf/utils.py:846-944. ---
+    refine_iters_per_sec = None
+    try:
+        if os.environ.get("BENCH_SKIP_REFINE") == "1":
+            raise RuntimeError("BENCH_SKIP_REFINE=1")
+        if dt > 120.0:
+            raise RuntimeError("degraded relay window")
+        from makeit3d_tpu.cameras import fix_poses
+        from makeit3d_tpu.training.refine import RefineStage
+
+        rcfg = Config(guidance="none")
+        stage = RefineStage(rcfg, guidance=None, workspace=None, seed=0)
+        rng2 = np.random.default_rng(0)
+        n_pts = 300_000  # typical fused-cloud scale (point_cloud.py cap 1e6)
+        pts = rng2.uniform(-0.5, 0.5, (n_pts, 3)).astype(np.float32)
+        cols = rng2.uniform(0, 1, (n_pts, 3)).astype(np.float32)
+        n_cano = n_pts // 2
+        rparams, ropt, ropt_state, anchors = stage.init_state(
+            pts[:n_cano], cols[:n_cano], pts[n_cano:], cols[n_cano:])
+        rstep, _fwd = stage.build_step(ropt, is_front=False,
+                                       H=rcfg.H, W=rcfg.W, fov=rcfg.fov)
+        _, _, w2c_pose, _, _ = fix_poses(
+            1, 1, rng2, radius_range=rcfg.radius_range,
+            theta_range=rcfg.theta_range, phi_range=rcfg.phi_range)
+        w2c = jnp.asarray(np.linalg.inv(w2c_pose[0]), jnp.float32)
+        gt = jnp.zeros((rcfg.H, rcfg.W, 3))
+        gtm = jnp.ones((rcfg.H, rcfg.W))
+        rargs = (w2c, key, gt, gtm, None, None, anchors, None)
+        rparams, ropt_state, rm, _ = rstep(rparams, ropt_state, *rargs)
+        _ = float(np.asarray(rm["loss"]))  # fetch = true completion
+        n_r = 5
+        t0 = time.time()
+        for _i in range(n_r):
+            rparams, ropt_state, rm, _ = rstep(rparams, ropt_state, *rargs)
+        _ = float(np.asarray(rm["loss"]))
+        refine_iters_per_sec = round(n_r / (time.time() - t0), 3)
+    except Exception as e:
+        print(f"[bench] refine phase skipped: {type(e).__name__}: {e}")
+
     print(json.dumps({
         "metric": "coarse_train_iters_per_sec",
         "value": round(iters_per_sec, 3),
@@ -422,6 +520,8 @@ def main():
         "sds_mfu": sds_mfu,
         "sds_mv_views_per_sec": sds_mv_views_per_sec,
         "sds_note": sds_note,
+        "eval_frame_800_ms": eval_frame_ms,
+        "refine_iters_per_sec": refine_iters_per_sec,
         "grid_source": grid_source,
         "timing": "host-fetch barrier (block_until_ready unreliable on relay)",
         "device": str(jax.devices()[0]),

@@ -181,6 +181,10 @@ class Config:
     dpt_weights: Optional[str] = None
     # device mesh: number of devices along the data (ray/view) axis.
     mesh_data: int = 1
+    # tensor-parallel devices for the frozen guidance towers: the SD
+    # UNet/VAE/CLIP params are sharded Megatron-style over a 'model'
+    # axis (parallel/tp.py); XLA SPMD places the all-reduces on ICI.
+    mesh_model: int = 1
     # profiling: when set, Trainer.train wraps epochs in a jax.profiler
     # trace written here (open with xprof / tensorboard). Replaces the
     # reference's commented-out manual timing probes (nerf/sd.py:123-147,

@@ -123,6 +123,9 @@ def parse_args(argv=None):
     p.add_argument("--mesh_data", type=int, default=d.mesh_data,
                    help="data-parallel devices: rays sharded over a 1-D "
                         "mesh, state replicated (parallel/mesh.py)")
+    p.add_argument("--mesh_model", type=int, default=d.mesh_model,
+                   help="tensor-parallel devices for the frozen guidance "
+                        "towers (Megatron-style shardings, parallel/tp.py)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: call jax.distributed.initialize() "
                         "before any device use (env-driven coordinator "

@@ -460,6 +460,24 @@ class Trainer:
                 f"[INFO] data-parallel mesh over "
                 f"{cfg.mesh_data} devices: {self.mesh}")
 
+        # tensor-parallel guidance towers (SURVEY.md §2.3: "the frozen SD
+        # UNet can be replicated or tensor-sharded with pjit"). Sharding
+        # the frozen params once here is the whole integration: every
+        # step receives them through batch["gparams"], and XLA partitions
+        # the UNet/VAE matmuls to match their input shardings.
+        if cfg.mesh_model > 1 and guidance is not None:
+            from ..parallel.tp import make_tp_mesh, shard_guidance_params
+
+            if cfg.mesh_data > 1:
+                raise ValueError(
+                    "mesh_data and mesh_model are mutually exclusive for "
+                    "now (2-D data x model meshes not wired)")
+            tp_mesh = make_tp_mesh(cfg.mesh_model)
+            guidance.params = shard_guidance_params(guidance.params, tp_mesh)
+            self.ws.log(
+                f"[INFO] guidance towers tensor-sharded over "
+                f"{cfg.mesh_model} devices")
+
         # model EMA mirror (reference: utils.py:304-307 torch_ema;
         # updated per step at utils.py:1006-1007, swapped in around
         # eval/test at utils.py:1043-1071, saved in full checkpoints)
