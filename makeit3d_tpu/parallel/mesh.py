@@ -30,6 +30,19 @@ def make_mesh(n_data: Optional[int] = None) -> Mesh:
     return Mesh(np.asarray(devs[:n]), ("data",))
 
 
+def make_mesh_2d(n_data: int, n_model: int) -> Mesh:
+    """2-D data x model mesh: views/rays shard over "data", the frozen
+    guidance towers tensor-shard over "model" (parallel/tp.py). The
+    "model" axis is the minor (fastest-varying) dimension so a TP group's
+    all-reduces ride adjacent-chip ICI links."""
+    devs = jax.devices()
+    need = n_data * n_model
+    if len(devs) < need:
+        raise ValueError(f"need {need} devices, have {len(devs)}")
+    return Mesh(np.asarray(devs[:need]).reshape(n_data, n_model),
+                ("data", "model"))
+
+
 def batch_shardings(mesh: Mesh, batch) -> Dict:
     """Shard per-ray arrays over "data"; replicate scalars and reference
     images (they are small and read by every device).
@@ -56,6 +69,37 @@ def shard_train_step(step_fn, mesh: Mesh, batch: Dict):
     """
     repl = NamedSharding(mesh, P())
     b_shard = batch_shardings(mesh, batch)
+    jitted = jax.jit(
+        step_fn,
+        in_shardings=(repl, repl, repl, repl, b_shard),
+        out_shardings=(repl, repl, repl, repl),
+    )
+    return jitted, b_shard
+
+
+def shard_mv_tp_step(step_fn, mesh: Mesh, batch_keys, view_keys, gparams):
+    """2-D jit of the multi-view step: the view axis shards over "data"
+    while the frozen guidance tower params ("gparams" in the batch)
+    tensor-shard over "model" (parallel/tp.py heuristics). Field
+    params / optimizer state / grid stay replicated, so the view-mean
+    gradient psums over "data" and every TP matmul pair all-reduces over
+    "model" — both placed by XLA's SPMD partitioner, no hand collectives.
+
+    This is the v4-8 scale-out shape for the SDS hot loop (BASELINE.md):
+    data-parallel novel views x tensor-parallel UNet.
+    """
+    from .tp import tp_param_shardings
+
+    repl = NamedSharding(mesh, P())
+    view = NamedSharding(mesh, P("data"))
+    b_shard = {}
+    for k in batch_keys:
+        if k == "gparams":
+            b_shard[k] = tp_param_shardings(gparams, mesh, axis="model")
+        elif k in view_keys:
+            b_shard[k] = view
+        else:
+            b_shard[k] = repl
     jitted = jax.jit(
         step_fn,
         in_shardings=(repl, repl, repl, repl, b_shard),

@@ -341,10 +341,21 @@ def make_multiview_step(cfg, field, optimizer, settings, guidance,
         return params, opt_state, metrics, aux
 
     if mesh is not None:
-        from ..parallel.mesh import shard_train_step
-
         keys = BATCH_KEYS + (
             GUIDANCE_BATCH_KEYS if guidance is not None else ())
+        if "model" in mesh.axis_names:
+            # 2-D data x model: views shard over "data", the frozen
+            # guidance towers tensor-shard over "model" (parallel/tp.py)
+            from ..parallel.mesh import shard_mv_tp_step
+
+            if guidance is None:
+                raise ValueError(
+                    "a 'model' mesh axis needs guidance towers to shard")
+            fn, _ = shard_mv_tp_step(train_step, mesh, keys,
+                                     MV_VIEW_KEYS, guidance.params)
+            return fn
+        from ..parallel.mesh import shard_train_step
+
         fn, _ = shard_train_step(train_step, mesh, keys)
         return fn
     return jax.jit(train_step)
