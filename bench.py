@@ -99,23 +99,46 @@ def measure_flops(fn, params, opt_state, grid, key, batch):
         return None
 
 
+import threading
+
+_emit_lock = threading.Lock()
+_emitted = [False]
+
+
+def add_note(report: dict, msg: str):
+    report["note"] = "; ".join(
+        ([report["note"]] if report.get("note") else []) + [msg])
+
+
+def emit(report: dict, status: str = "ok"):
+    """Print the bench JSON line exactly once (the deadline timer and the
+    normal end-of-run path race; advisor round-2 finding)."""
+    with _emit_lock:
+        if _emitted[0]:
+            return
+        _emitted[0] = True
+        report.setdefault("metric", "coarse_train_iters_per_sec")
+        report.setdefault("value", None)
+        report.setdefault("unit", "iter/s")
+        report.setdefault("vs_baseline", None)
+        report["status"] = status
+        print(json.dumps(report), flush=True)
+
+
 def _arm_deadline(report: dict, seconds: float):
     """Guarantee the driver a JSON line even when the relay never comes
     back: a blocked device fetch cannot be interrupted from Python, so a
     daemon timer prints whatever was measured so far and hard-exits.
     (2026-08-18: a degraded window where a 1k x 1k matmul compile+fetch
-    took 72 s swallowed an entire 25-minute bench run without output.)"""
-    import threading
+    took 72 s swallowed an entire 25-minute bench run without output.)
+    Every phase writes its result (or an in-progress/skip marker) into
+    `report` BEFORE moving on, so the deadline line carries all completed
+    phases (round-2 verdict item 1b)."""
 
     def fire():
-        report.setdefault("metric", "coarse_train_iters_per_sec")
-        report.setdefault("value", None)
-        report.setdefault("unit", "iter/s")
-        report.setdefault("vs_baseline", None)
-        report["note"] = (report.get("note") or "") + (
-            f" deadline {seconds:.0f}s hit: relay degraded, phases "
-            f"incomplete").strip()
-        print(json.dumps(report), flush=True)
+        add_note(report, f"deadline {seconds:.0f}s hit: phases after the "
+                         f"last recorded one did not finish")
+        emit(report, status="deadline")
         os._exit(0)
 
     t = threading.Timer(seconds, fire)
@@ -128,6 +151,29 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compilation cache (round-2 verdict item 1a): the big
+    # SDS-tower compiles through a degraded relay window ate the whole
+    # r02 bench budget. With the cache, any compile is paid once EVER —
+    # a re-run in a healthy window (or after a worker respawn) reloads
+    # the executable from disk instead of recompiling.
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:
+        print(f"[bench] compile cache unavailable: {e}")
+
+    bench_t0 = time.time()
+    budget_s = float(os.environ.get("BENCH_DEADLINE_S", "1500"))
+
+    def remaining():
+        return budget_s - (time.time() - bench_t0)
+
     from makeit3d_tpu.cameras import ViewSampler
     from makeit3d_tpu.config import Config
     from makeit3d_tpu.models.field import (
@@ -139,8 +185,7 @@ def main():
     from makeit3d_tpu.training.trainer import make_step_variant
 
     report = {}
-    deadline = _arm_deadline(
-        report, float(os.environ.get("BENCH_DEADLINE_S", "1500")))
+    deadline = _arm_deadline(report, budget_s)
 
     # reference workload shape: 128x128 rays, S budget 96; flagship field
     cfg = Config(guidance="none", backbone="fourier")
@@ -230,22 +275,37 @@ def main():
     _ = float(np.asarray(metrics["loss"]))  # fetch = true completion
     rng = np.random.default_rng(0)  # reset the shading-mix stream
 
-    # per-step FLOPs of the shaded novel step (the hot program pair).
-    # XLA's cost model cannot see inside the fused-MLP Pallas custom
-    # call (it counts it as ~0 FLOPs), so add the kernel's analytic
-    # count: per row, fwd = 2*(DIN*H + (L-2)*H*H + H*OUT_PAD); the
-    # in-kernel gradient chain ~2x fwd and the hand-derived training
-    # backward ~5x fwd (derivation: scripts/bench_fused_mlp.py), and
-    # the shaded step pushes 2x rows (main + batched smooth eval).
-    flops_step = measure_flops(steps[(False, True)], params, opt_state,
-                               grid, key, novel_batch)
-    if cfg.backbone == "fourier" and cfg.mlp_hidden % 128 == 0:
+    # Per-variant compiled FLOPs + the fused-MLP Pallas kernel's analytic
+    # count (XLA's cost model sees the custom call as ~0 FLOPs; per row,
+    # fwd = 2*(DIN*H + (L-2)*H*H + H*OUT_PAD), the fwd+in-kernel grad
+    # chain ~2x fwd and the hand-derived training backward ~5x fwd —
+    # derivation: scripts/bench_fused_mlp.py; the shaded step pushes 2x
+    # rows: main + batched smooth eval). MFU is weighted by the actual
+    # schedule mix — front every 4th step, novel draws 50% albedo / 10%
+    # textureless / 40% lambertian (reference utils.py:470-483) — not by
+    # the most expensive program (round-2 verdict weak #2).
+    def pallas_flops(shaded):
+        if not (cfg.backbone == "fourier" and cfg.mlp_hidden % 128 == 0):
+            return 0.0
         from makeit3d_tpu.ops.pallas.fused_mlp import OUT_PAD
+
         H_, L_ = cfg.mlp_hidden, cfg.mlp_layers
         fwd_row = 2 * (128 * H_ + (L_ - 2) * H_ * H_ + H_ * OUT_PAD)
-        rows = cfg.h * cfg.w * cfg.train_samples_per_ray * 2
-        pallas_flops = rows * fwd_row * 7  # grad chain 2x + train bwd 5x
-        flops_step = (flops_step or 0.0) + pallas_flops
+        rows = cfg.h * cfg.w * cfg.train_samples_per_ray
+        if shaded:
+            return rows * 2 * fwd_row * 7  # (fwd+grad chain) 2x + bwd 5x
+        return rows * fwd_row * 6          # fwd 1x + training bwd 5x
+
+    flops_var = {}
+    for (front, shaded), fn in steps.items():
+        f = measure_flops(fn, params, opt_state, grid, key,
+                          front_batch if front else novel_batch)
+        flops_var[(front, shaded)] = (
+            None if f is None else f + pallas_flops(shaded))
+    flops_step = flops_var[(False, True)]  # hot program pair (reported)
+    MIX = {(True, False): 0.25, (False, False): 0.375, (False, True): 0.375}
+    flops_mix = (None if any(v is None for v in flops_var.values())
+                 else sum(MIX[k] * v for k, v in flops_var.items()))
 
     # timed run, including the every-16-step grid refresh like training;
     # steps chain data-dependently (params/opt_state), ONE fetch at end
@@ -264,8 +324,12 @@ def main():
     iters_per_sec = n_steps / dt
     rays_per_sec = iters_per_sec * cfg.h * cfg.w
     target = 5000.0 / (9 * 60)  # coarse stage inside the 15-min asset budget
-    mfu = (round(flops_step * iters_per_sec / V5E_PEAK_FLOPS, 4)
-           if flops_step else None)
+    # schedule-mix-weighted MFU (honest); mfu_hot_program kept for
+    # round-over-round comparability with r02's (flattering) definition
+    mfu = (round(flops_mix * iters_per_sec / V5E_PEAK_FLOPS, 4)
+           if flops_mix else None)
+    mfu_hot = (round(flops_step * iters_per_sec / V5E_PEAK_FLOPS, 4)
+               if flops_step else None)
     report.update({
         "metric": "coarse_train_iters_per_sec",
         "value": round(iters_per_sec, 3),
@@ -273,38 +337,15 @@ def main():
         "vs_baseline": round(iters_per_sec / target, 3),
         "rays_per_sec": round(rays_per_sec, 1),
         "mfu": mfu,
+        "mfu_hot_program": mfu_hot,
         "grid_source": grid_source,
     })
 
-    # --- hash backbone (parity tier), albedo program, short run: its
-    # backward rides the XLA scatter ceiling (~20M rows/s) so a handful
-    # of steps suffices to characterize it ---
-    hash_albedo_ips = None
-    try:
-        if os.environ.get("BENCH_SKIP_HASH") != "1" and dt < 120.0:
-            hcfg = Config(guidance="none", backbone="hashgrid")
-            hfield = make_field(hcfg)
-            hparams = hfield.init(key, jnp.zeros((8, 3)), jnp.zeros((8, 3)))
-            hopt = make_optimizer(hcfg, make_lr_schedule(hcfg))
-            hopt_state = hopt.init(hparams)
-            hstep = make_step_variant(
-                hcfg, hfield, hopt, settings, None, is_front=False,
-                shaded=False, with_sds=False)
-            hparams, hopt_state, hm, _ = hstep(hparams, hopt_state, grid,
-                                               key, novel_batch)
-            _ = float(np.asarray(hm["loss"]))
-            n_h = 3
-            t0 = time.time()
-            for _i in range(n_h):
-                hparams, hopt_state, hm, _ = hstep(hparams, hopt_state,
-                                                   grid, key, novel_batch)
-            _ = float(np.asarray(hm["loss"]))
-            hash_albedo_ips = round(n_h / (time.time() - t0), 3)
-    except Exception as e:
-        print(f"[bench] hash phase skipped: {type(e).__name__}: {e}")
-    report["hash_albedo_iters_per_sec"] = hash_albedo_ips
-
     # --- SDS phase: novel-view step with the full-size SD 2.0 stack ---
+    # Runs FIRST after the coarse loop: sds_iters_per_sec is the tracked
+    # BASELINE.json metric and it must reach the artifact even if later
+    # phases die (round-2 verdict item 1c — it missed two rounds running
+    # because slower discretionary phases ran before it).
     # (randomly initialized towers — zero-egress environment — but the
     # real architecture, so the FLOPs and memory traffic are honest).
     # "SDS iters/sec" is the tracked metric in BASELINE.json. Resilience
@@ -312,10 +353,14 @@ def main():
     # re-roll with a fresh compile salt (new executable); if 128x128
     # keeps faulting, fall back to a 64x64 render (the SD stack still
     # consumes the same 512x512 upsampled image — UNet FLOPs unchanged).
-    sds_iters_per_sec = None
-    sds_mfu = None
-    sds_note = None
-    sds_mv_views_per_sec = None
+    # placeholders land in the report NOW: a deadline firing mid-compile
+    # still carries the phase marker instead of dropping the keys
+    report.update({
+        "sds_iters_per_sec": None,
+        "sds_mfu": None,
+        "sds_mv_views_per_sec": None,
+        "sds_note": "in progress",
+    })
     try:
         if os.environ.get("BENCH_SKIP_SDS") == "1":
             raise RuntimeError("BENCH_SKIP_SDS=1")
@@ -416,21 +461,32 @@ def main():
         for sds_cfg, salt in attempts:
             try:
                 ips, fl = run_sds(sds_cfg, salt)
-                sds_iters_per_sec = round(ips, 3)
+                # the tracked metric lands in the report the moment it
+                # exists — the mv add-on below must not hold it hostage
+                report["sds_iters_per_sec"] = round(ips, 3)
                 if fl:
-                    sds_mfu = round(fl * ips / V5E_PEAK_FLOPS, 4)
-                if sds_cfg.h != cfg.h:
-                    sds_note = f"measured at {sds_cfg.h}x{sds_cfg.w} render"
+                    report["sds_mfu"] = round(
+                        fl * ips / V5E_PEAK_FLOPS, 4)
+                report["sds_note"] = (
+                    f"measured at {sds_cfg.h}x{sds_cfg.w} render"
+                    if sds_cfg.h != cfg.h else None)
                 # multi-view batched SDS (best-effort add-on); 4 views
                 # of 512^2 SDS towers can exceed the 15.75G HBM - fall
                 # back to a 2-view batch before giving up
                 for mv_B in (4, 2):
+                    if remaining() < 180.0:
+                        report["sds_note"] = ((report["sds_note"] + "; ")
+                                              if report["sds_note"]
+                                              else "") + "mv skipped: budget"
+                        break
                     try:
-                        sds_mv_views_per_sec = round(
+                        report["sds_mv_views_per_sec"] = round(
                             run_sds_mv(sds_cfg, B=mv_B), 3)
                         if mv_B != 4:
-                            sds_note = ((sds_note + "; ") if sds_note
-                                        else "") + f"mv batch {mv_B}"
+                            report["sds_note"] = (
+                                (report["sds_note"] + "; ")
+                                if report["sds_note"] else
+                                "") + f"mv batch {mv_B}"
                         break
                     except Exception as e2:
                         print(f"[bench] mv-SDS B={mv_B} skipped: "
@@ -441,29 +497,30 @@ def main():
                 last_err = e
                 print(f"[bench] SDS attempt (salt={salt}, h={sds_cfg.h}) "
                       f"failed: {type(e).__name__}; re-rolling", flush=True)
+                if remaining() < 240.0:
+                    raise RuntimeError(
+                        f"budget exhausted re-rolling: {last_err}")
                 time.sleep(45.0)
         else:
             raise RuntimeError(f"all SDS attempts failed: {last_err}")
     except Exception as e:  # never fail the bench line on the SDS phase
         print(f"[bench] SDS phase skipped: {type(e).__name__}: {e}")
-    report.update({
-        "sds_iters_per_sec": sds_iters_per_sec,
-        "sds_mfu": sds_mfu,
-        "sds_mv_views_per_sec": sds_mv_views_per_sec,
-        "sds_note": sds_note,
-    })
+        if report.get("sds_iters_per_sec") is None:
+            report["sds_note"] = f"skipped: {type(e).__name__}: {e}"
 
     # --- eval/orbit render phase: one 800x800 test frame as ONE scanned
     # program (the Trainer's render_chunks_scan shape — VERDICT round-1
     # item 9: the orbit frame used to be 157 sequential relay dispatches).
     # Timed per frame INCLUDING the D2H image fetch, which is what the
     # production test loop pays per written PNG. ---
-    eval_frame_ms = None
+    report["eval_frame_800_ms"] = None
     try:
         if os.environ.get("BENCH_SKIP_EVAL") == "1":
             raise RuntimeError("BENCH_SKIP_EVAL=1")
         if dt > 120.0:
             raise RuntimeError("degraded relay window")
+        if remaining() < 150.0:
+            raise RuntimeError("budget exhausted")
         from makeit3d_tpu.models.renderer import render_occupancy
 
         es = RenderSettings.from_config(cfg, training=False)
@@ -505,21 +562,23 @@ def main():
         for _i in range(n_f):
             img, _ = eval_frame(params, grid, ro, rd, ds, key)
             _ = np.asarray(img)
-        eval_frame_ms = round((time.time() - t0) / n_f * 1000.0, 1)
+        report["eval_frame_800_ms"] = round(
+            (time.time() - t0) / n_f * 1000.0, 1)
     except Exception as e:
         print(f"[bench] eval phase skipped: {type(e).__name__}: {e}")
-    report["eval_frame_800_ms"] = eval_frame_ms
 
     # --- refine-stage phase: one optimization step of the point-splat +
     # gated-UNet neural renderer at full res (novel view: contextual +
     # background + anchor losses; SDS towers measured separately above).
     # Reference hot loop: nerf/utils.py:846-944. ---
-    refine_iters_per_sec = None
+    report["refine_iters_per_sec"] = None
     try:
         if os.environ.get("BENCH_SKIP_REFINE") == "1":
             raise RuntimeError("BENCH_SKIP_REFINE=1")
         if dt > 120.0:
             raise RuntimeError("degraded relay window")
+        if remaining() < 150.0:
+            raise RuntimeError("budget exhausted")
         from makeit3d_tpu.cameras import fix_poses
         from makeit3d_tpu.training.refine import RefineStage
 
@@ -548,19 +607,53 @@ def main():
         for _i in range(n_r):
             rparams, ropt_state, rm, _ = rstep(rparams, ropt_state, *rargs)
         _ = float(np.asarray(rm["loss"]))
-        refine_iters_per_sec = round(n_r / (time.time() - t0), 3)
+        report["refine_iters_per_sec"] = round(n_r / (time.time() - t0), 3)
     except Exception as e:
         print(f"[bench] refine phase skipped: {type(e).__name__}: {e}")
-    report["refine_iters_per_sec"] = refine_iters_per_sec
+
+    # --- hash backbone (parity tier), albedo program, short run, LAST:
+    # its backward rides the XLA scatter ceiling (~20M rows/s) so a
+    # handful of steps suffices to characterize it, and it must never
+    # starve the tracked phases above (round-2 verdict item 1c) ---
+    report["hash_albedo_iters_per_sec"] = None
+    try:
+        if os.environ.get("BENCH_SKIP_HASH") == "1":
+            raise RuntimeError("BENCH_SKIP_HASH=1")
+        if dt > 120.0:
+            raise RuntimeError("degraded relay window")
+        if remaining() < 200.0:
+            raise RuntimeError("budget exhausted")
+        hcfg = Config(guidance="none", backbone="hashgrid")
+        hfield = make_field(hcfg)
+        hparams = hfield.init(key, jnp.zeros((8, 3)), jnp.zeros((8, 3)))
+        hopt = make_optimizer(hcfg, make_lr_schedule(hcfg))
+        hopt_state = hopt.init(hparams)
+        hstep = make_step_variant(
+            hcfg, hfield, hopt, settings, None, is_front=False,
+            shaded=False, with_sds=False)
+        hparams, hopt_state, hm, _ = hstep(hparams, hopt_state, grid,
+                                           key, novel_batch)
+        _ = float(np.asarray(hm["loss"]))
+        n_h = 3
+        t0 = time.time()
+        for _i in range(n_h):
+            hparams, hopt_state, hm, _ = hstep(hparams, hopt_state,
+                                               grid, key, novel_batch)
+        _ = float(np.asarray(hm["loss"]))
+        report["hash_albedo_iters_per_sec"] = round(
+            n_h / (time.time() - t0), 3)
+    except Exception as e:
+        print(f"[bench] hash phase skipped: {type(e).__name__}: {e}")
 
     deadline.cancel()
     report.update({
         "flops_per_step": flops_step,
+        "flops_per_step_mix": flops_mix,
         "backbone": cfg.backbone,
         "timing": "host-fetch barrier (block_until_ready unreliable on relay)",
         "device": str(jax.devices()[0]),
     })
-    print(json.dumps(report))
+    emit(report, status="ok")
 
 
 if __name__ == "__main__":

@@ -103,6 +103,12 @@ class Config:
     lambda_opacity: float = 1e-3
     lambda_orient: float = 1e-2
     lambda_smooth: float = 1.0
+    # fraction of marched samples given the perturbed-normal eval for
+    # the smooth loss (1.0 = reference behavior, every sample,
+    # renderer.py:521-524; <1 = unbiased per-step subsample — the
+    # perturbed chain is a full second normal backward, ~40% of the
+    # shaded step; see RenderSettings.smooth_subset)
+    smooth_subset: float = 1.0
     lambda_img: float = 1e3
     lambda_depth: float = 1.0
     lambda_clip: float = 1.0

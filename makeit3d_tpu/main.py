@@ -87,6 +87,11 @@ def parse_args(argv=None):
     p.add_argument("--lambda_opacity", type=float, default=d.lambda_opacity)
     p.add_argument("--lambda_orient", type=float, default=d.lambda_orient)
     p.add_argument("--lambda_smooth", type=float, default=d.lambda_smooth)
+    p.add_argument("--smooth_subset", type=float, default=d.smooth_subset,
+                   help="fraction of samples given the perturbed-normal "
+                        "eval for the smooth loss (1.0 = reference "
+                        "behavior; <1 subsamples the ~40%%-of-step "
+                        "second normal chain)")
     p.add_argument("--lambda_img", type=float, default=d.lambda_img)
     p.add_argument("--lambda_depth", type=float, default=d.lambda_depth)
     p.add_argument("--lambda_clip", type=float, default=d.lambda_clip)
@@ -117,6 +122,10 @@ def parse_args(argv=None):
                    choices=["relu", "resmlp"],
                    help="fourier backbone MLP: fused-kernel plain-ReLU "
                         "chain or XLA ResMLP")
+    p.add_argument("--ema_decay", type=float, default=d.ema_decay,
+                   help="model EMA decay (e.g. 0.95); default off, "
+                        "matching the reference's never-exposed knob "
+                        "(nerf/utils.py:304-307)")
     p.add_argument("--views_per_step", type=int, default=d.views_per_step,
                    help="novel views batched per optimizer step (MLP "
                         "backbones; front views stay single)")

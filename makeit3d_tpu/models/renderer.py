@@ -45,6 +45,15 @@ class RenderSettings:
     max_depth: float = 10.0
     compute_smooth: bool = True   # lambda_smooth > 0
     smooth_sigma: float = 1e-2
+    # fraction of marched samples whose perturbed normal is evaluated
+    # for the smoothness loss. 1.0 = the reference's every-sample eval
+    # (renderer.py:521-524); <1 subsamples rows per step (unbiased
+    # estimator, fresh rows each step) — the perturbed chain is a full
+    # second normal backward, ~40% of the shaded step on the v5e
+    # (docs/TPU_NOTES.md), so 0.25 trades ~30% step time for smooth-loss
+    # gradient variance. Applies to the fused/batched paths; the
+    # encode-split (hash) path always evaluates every sample.
+    smooth_subset: float = 1.0
     field_chunk: int = 1 << 17    # samples per rematerialized field chunk
     # Training-path compositor backend. None = auto (Pallas on TPU). The
     # Pallas kernel pair (ops/pallas/composite.py) mirrors the CUDA
@@ -63,6 +72,7 @@ class RenderSettings:
             upsample_steps=cfg.upsample_steps,
             max_depth=cfg.max_depth,
             compute_smooth=cfg.lambda_smooth > 0,
+            smooth_subset=getattr(cfg, "smooth_subset", 1.0),
         )
 
 
@@ -135,6 +145,15 @@ def render_occupancy(
     flat_x = m.xyzs.reshape(-1, 3)
     flat_d = m.dirs.reshape(-1, 3)
     normals_perturb = None
+    # smooth-loss row subset (see RenderSettings.smooth_subset): fresh
+    # random rows per step; duplicates are fine for an unbiased mean
+    smooth_sub_idx = None
+    if (training and shaded and s.compute_smooth
+            and s.smooth_subset < 1.0 and smooth_eval is None):
+        M_all = flat_x.shape[0]
+        m_sub = max((int(M_all * s.smooth_subset) // 256) * 256, 256)
+        k_smooth, k_sub = jax.random.split(k_smooth)
+        smooth_sub_idx = jax.random.randint(k_sub, (m_sub,), 0, M_all)
     if field_eval is not None:
         sigmas, rgbs, normals = field_eval(flat_x, flat_d, light_d)
     elif training and shaded and s.compute_smooth:
@@ -146,8 +165,10 @@ def render_occupancy(
         # perturbed normals separately, renderer.py:521-524).
         from .field import _shade
 
-        noise = jax.random.normal(k_smooth, flat_x.shape) * s.smooth_sigma
-        both = jnp.concatenate([flat_x, flat_x + noise], axis=0)
+        sub_x = (flat_x if smooth_sub_idx is None
+                 else flat_x[smooth_sub_idx])
+        noise = jax.random.normal(k_smooth, sub_x.shape) * s.smooth_sigma
+        both = jnp.concatenate([flat_x, sub_x + noise], axis=0)
         sig_all, alb_all, nrm_all = sigma_albedo_normal_chunked(
             field, variables, both, chunk=s.field_chunk)
         M = flat_x.shape[0]
@@ -206,14 +227,24 @@ def render_occupancy(
             if smooth_eval is not None:
                 normals_perturb = smooth_eval(flat_x)
             elif normals_perturb is None:  # not pre-batched above
-                noise = (jax.random.normal(k_smooth, flat_x.shape)
+                sub_x = (flat_x if smooth_sub_idx is None
+                         else flat_x[smooth_sub_idx])
+                noise = (jax.random.normal(k_smooth, sub_x.shape)
                          * s.smooth_sigma)
                 _, _, normals_perturb = sigma_albedo_normal_chunked(
-                    field, variables, flat_x + noise, chunk=s.field_chunk
+                    field, variables, sub_x + noise, chunk=s.field_chunk
                 )
-            diff = jnp.abs(normals - normals_perturb.reshape(N, S, 3))
-            diff = jnp.where(m.valid[..., None], diff, 0.0)
-            results["loss_smooth"] = jnp.sum(diff) / (nvalid * 3)
+            if smooth_sub_idx is not None:
+                n_main = normals.reshape(-1, 3)[smooth_sub_idx]
+                v_sub = m.valid.reshape(-1)[smooth_sub_idx]
+                diff = jnp.abs(n_main - normals_perturb)
+                diff = jnp.where(v_sub[..., None], diff, 0.0)
+                results["loss_smooth"] = jnp.sum(diff) / (
+                    jnp.maximum(jnp.sum(v_sub), 1) * 3)
+            else:
+                diff = jnp.abs(normals - normals_perturb.reshape(N, S, 3))
+                diff = jnp.where(m.valid[..., None], diff, 0.0)
+                results["loss_smooth"] = jnp.sum(diff) / (nvalid * 3)
 
     weights_sum = comp.weights_sum
     image = comp.image + (1.0 - weights_sum)[..., None] * bg_color

@@ -29,20 +29,52 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 class VGG19Features(nn.Module):
-    """Forward through VGG19 conv layers up to relu5_4."""
+    """Forward through VGG19 conv layers up to relu5_4.
+
+    taps=True returns the end-of-block relu activations
+    [relu1_2, relu2_2, relu3_4, relu4_4, relu5_4] (the LPIPS tap
+    points); the default returns relu5_4 only (contextual loss)."""
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, taps: bool = False):
         idx = 0
+        outs = []
         for c in _CFG:
             if c == "M":
+                outs.append(x)  # last relu of the block, pre-pool
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             else:
                 x = nn.Conv(c, (3, 3), padding="SAME",
                             name=f"features_{idx}")(x)
                 x = nn.relu(x)
                 idx += 1
-        return x  # relu5_4
+        outs.append(x)  # relu5_4
+        return outs if taps else x
+
+
+def load_vgg_params(vgg: VGG19Features, weights_path: Optional[str],
+                    seed: int = 0):
+    """Init (and optionally port torchvision weights into) a
+    VGG19Features param tree. torchvision names convs features.0,
+    features.2, ...; renumbered to consecutive features_i."""
+    params = vgg.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, 64, 64, 3))
+    )["params"]
+    if weights_path:
+        from .sd.weights import load_torch_state_dict, port_torch_to_flax
+
+        sd = load_torch_state_dict(weights_path)
+        torch_ids = sorted(
+            {int(k.split(".")[1]) for k in sd if k.startswith("features.")}
+        )
+        new_sd = {}
+        for i, tid in enumerate(torch_ids):
+            for leaf in ("weight", "bias"):
+                tk = f"features.{tid}.{leaf}"
+                if tk in sd:
+                    new_sd[f"features_{i}.{leaf}"] = sd[tk]
+        params = port_torch_to_flax(new_sd, params)
+    return params
 
 
 def contextual_loss(
@@ -73,25 +105,7 @@ class ContextualLoss:
 
     def __init__(self, weights_path: Optional[str] = None, seed: int = 0):
         self.vgg = VGG19Features()
-        self.params = self.vgg.init(
-            jax.random.PRNGKey(seed), jnp.zeros((1, 64, 64, 3))
-        )["params"]
-        if weights_path:
-            from .sd.weights import load_torch_state_dict, port_torch_to_flax
-
-            sd = load_torch_state_dict(weights_path)
-            # torchvision names convs features.0, features.2, ...;
-            # renumber to our consecutive features_i by sorted torch index
-            torch_ids = sorted(
-                {int(k.split(".")[1]) for k in sd if k.startswith("features.")}
-            )
-            new_sd = {}
-            for i, tid in enumerate(torch_ids):
-                for leaf in ("weight", "bias"):
-                    tk = f"features.{tid}.{leaf}"
-                    if tk in sd:
-                        new_sd[f"features_{i}.{leaf}"] = sd[tk]
-            self.params = port_torch_to_flax(new_sd, self.params)
+        self.params = load_vgg_params(self.vgg, weights_path, seed)
 
     def __call__(self, pred_rgb: jnp.ndarray, gt_rgb: jnp.ndarray,
                  params=None) -> jnp.ndarray:
@@ -102,3 +116,60 @@ class ContextualLoss:
         fx = self.vgg.apply({"params": params}, x[None])[0]
         fy = self.vgg.apply({"params": params}, y[None])[0]
         return contextual_loss(fx, jax.lax.stop_gradient(fy))
+
+
+class LPIPS:
+    """Perceptual distance of Zhang et al. 2018 (LPIPS), VGG flavor.
+
+    d(x, y) = sum_l mean_hw sum_c w_lc (phi_l(x) - phi_l(y))^2 over the
+    five VGG block-end relus, with phi channel-unit-normalized. The
+    official model multiplies by learned per-channel linear weights
+    w_lc; when no calibration checkpoint is available (zero-egress
+    environment) w_lc = 1/C_l — the paper's uncalibrated "lin=1"
+    baseline, which it shows already tracks human judgments well.
+    A torch `lpips` checkpoint (lin0..lin4 1x1 convs) loads via
+    `lin_weights_path` when present.
+
+    The reference computes no perceptual metric anywhere (SURVEY §6);
+    this backs scripts/fidelity.py alongside PSNR/SSIM.
+    """
+
+    # the official LPIPS ScalingLayer constants (inputs in [-1, 1])
+    _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+    _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+    def __init__(self, vgg_weights: Optional[str] = None,
+                 lin_weights_path: Optional[str] = None, seed: int = 0):
+        self.vgg = VGG19Features()
+        self.params = load_vgg_params(self.vgg, vgg_weights, seed)
+        self.lin = None
+        if lin_weights_path:
+            from .sd.weights import load_torch_state_dict
+
+            sd = load_torch_state_dict(lin_weights_path)
+            # lpips checkpoints store lin{l}.model.1.weight [1, C, 1, 1]
+            self.lin = [
+                jnp.asarray(
+                    np.asarray(sd[f"lin{l}.model.1.weight"]).reshape(-1)
+                )
+                for l in range(5)
+            ]
+
+    def __call__(self, a: jnp.ndarray, b: jnp.ndarray,
+                 params=None) -> jnp.ndarray:
+        """a, b: [H, W, 3] in [0, 1] -> scalar distance (0 = identical)."""
+        params = params if params is not None else self.params
+
+        def scaled(img):
+            return (2.0 * img - 1.0 - self._SHIFT) / self._SCALE
+
+        fa = self.vgg.apply({"params": params}, scaled(a)[None], taps=True)
+        fb = self.vgg.apply({"params": params}, scaled(b)[None], taps=True)
+        d = 0.0
+        for l, (fx, fy) in enumerate(zip(fa, fb)):
+            fx = fx / (jnp.linalg.norm(fx, axis=-1, keepdims=True) + 1e-10)
+            fy = fy / (jnp.linalg.norm(fy, axis=-1, keepdims=True) + 1e-10)
+            diff = (fx - fy) ** 2  # [1, H, W, C]
+            w = self.lin[l] if self.lin is not None else 1.0 / diff.shape[-1]
+            d = d + jnp.mean(jnp.sum(diff * w, axis=-1))
+        return d

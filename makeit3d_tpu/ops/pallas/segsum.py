@@ -1,0 +1,158 @@
+"""Sorted-segment-sum scatter: the Pallas attempt at the XLA:TPU
+scatter-add ceiling (round-2 verdict item 4; docs/TPU_NOTES.md
+"scatter ceiling": every XLA scatter formulation — naive .at[].add,
+scan-of-scans, folded single-scatter, vjp-of-gather, sorted
+segment_sum — lands at ~16-25M rows/s because XLA serializes the
+row updates; CUDA pays the same rows as global atomics at memory
+speed, tiny-cuda-nn's fused backward included,
+/root/reference/nerf/network_tcnn.py:54-65).
+
+The idea XLA cannot express: once rows are SORTED by table index,
+a block of R consecutive rows touches a narrow contiguous slot range,
+so the segment reduction becomes an MXU matmul against an in-VMEM
+one-hot — no serialized scatter unit anywhere:
+
+  1. (XLA) sort rows by index — measured 50M rows/s, 2 payloads.
+  2. (Pallas, this file) for each block of R sorted rows: build the
+     one-hot [R, 2W] of local slot offsets against the block's aligned
+     base window, and matmul one-hot^T @ vals -> a dense [2W, F]
+     partial window. Rows whose slot falls outside the 2W window
+     (possible only in pathologically sparse blocks; the hash workload
+     runs >20 rows/slot, so a 1024-row block spans ~50 slots) are
+     dropped here and repaired exactly in step 4.
+  3. (XLA) combine the [n_blocks, 2, W, F] partials into the table with
+     ONE scatter of 2*n_blocks FAT rows ([W, F] slabs) — thousands of
+     rows instead of hundreds of millions, so the scatter unit's
+     per-row serialization is off the critical path.
+  4. (XLA) exact repair: rows dropped in step 2 (count is computed with
+     elementwise compares, no scatter) go through a plain .at[].add
+     under lax.cond, so the fallback's cost is paid only when it
+     actually fires.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import interpret_mode
+
+# rows per kernel block and aligned window width (slots). A block's
+# partial covers [base, base + 2*WINDOW) with base = floor(idx[0]/W)*W,
+# so spans up to 2*WINDOW - (idx[0] - base) slots are exact.
+BLOCK_ROWS = 1024
+WINDOW = 1024
+
+
+def _segsum_kernel(idx_ref, val_ref, out_ref):
+    idx = idx_ref[:, 0]                      # [R] i32, sorted
+    vals = val_ref[...]                      # [R, F] f32
+    # the block's aligned window base derives from its own first row —
+    # no side input (the XLA combine recomputes the same formula)
+    base = (idx[0] // WINDOW) * WINDOW
+    local = idx - base                       # >= 0 by sortedness
+    R = idx.shape[0]
+    # one-hot [R, 2W] via 2-D iota compare; out-of-window rows match no
+    # column and drop out (repaired exactly by the XLA fallback)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, 2 * WINDOW), 1)
+    onehot = (cols == local[:, None]).astype(jnp.float32)
+    # MXU: [F, R] @ [R, 2W] — the whole segment reduction as one matmul,
+    # emitted feature-major so the output block is [F, 2W] (lane dim 2W:
+    # a [.., 2W, F] layout would pad F=2 lanes to 128 — a measured 64x
+    # HBM expansion of the partials buffer).
+    # Precision HIGHEST: the default TPU matmul truncates f32 operands
+    # to bf16 (measured max_abs_diff 0.027 vs XLA's exact scatter on the
+    # dense hash workload); the onehot is exact in any precision, so the
+    # f32x3 decomposition recovers the values' full mantissa.
+    out_ref[...] = jax.lax.dot_general(
+        vals, onehot,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def sorted_segment_sum(sorted_idx: jax.Array, sorted_vals: jax.Array,
+                       table: jax.Array) -> jax.Array:
+    """table.at[sorted_idx].add(sorted_vals), exact, for SORTED idx.
+
+    sorted_idx: [M] int32, non-decreasing, in [0, T).
+    sorted_vals: [M, F] float32.
+    table: [T, F] float32 accumulator (returned updated).
+    """
+    M, F = sorted_vals.shape
+    T = table.shape[0]
+    R = BLOCK_ROWS
+    n_blocks = -(-M // R)
+    pad = n_blocks * R - M
+    # pad rows: index T (one past the table) never lands in any block's
+    # window unless the last block's base reaches T - 2W... route pads to
+    # a dedicated overflow slot instead: extend table by 2*WINDOW slots.
+    idx_p = jnp.pad(sorted_idx, (0, pad), constant_values=T + WINDOW)
+    # feature dim padded to the 8-sublane tile so the kernel's [Fp, 2W]
+    # output block lowers (zero columns cost nothing on the MXU)
+    Fp = max(-(-F // 8) * 8, 8)
+    val_p = jnp.pad(sorted_vals, ((0, pad), (0, Fp - F)))
+
+    # per-block aligned window bases (XLA gather — trivial; the kernel
+    # derives the same value from its own first row)
+    bases = (idx_p[::R] // WINDOW) * WINDOW          # [n_blocks] i32
+
+    partials = pl.pallas_call(
+        _segsum_kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((R, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, Fp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Fp, 2 * WINDOW), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * Fp, 2 * WINDOW),
+                                       jnp.float32),
+        interpret=interpret_mode(),
+    )(idx_p.reshape(-1, 1), val_p)
+
+    # combine: ONE scatter of 2*n_blocks fat [W, F] slabs. Window ids
+    # can collide across consecutive blocks (same window revisited), so
+    # this must be an add-scatter — but it serializes over thousands of
+    # slab rows, not millions of element rows.
+    n_win = T // WINDOW + 4  # table windows + margin for the pad slot
+    win_ids = jnp.stack([bases // WINDOW, bases // WINDOW + 1], axis=1)
+    # [n_blocks*Fp, 2W] -> [2*n_blocks, W, F] slabs (see kernel layout)
+    slabs = partials.reshape(n_blocks, Fp, 2, WINDOW)[:, :F].transpose(
+        0, 2, 3, 1).reshape(n_blocks * 2, WINDOW, F)
+    ext = jnp.zeros((n_win, WINDOW, F), table.dtype).at[
+        win_ids.reshape(-1)].add(slabs, mode="drop")
+    out = table + ext.reshape(-1, F)[:T]
+
+    # exact repair of dropped rows (block span exceeded 2W — requires a
+    # <1-row-per-slot sparse block; never seen on the hash workload but
+    # gradients must not depend on luck). Cost is paid only if it fires.
+    block_base = jnp.repeat(bases, R)[:M]
+    dropped = sorted_idx - block_base >= 2 * WINDOW
+    n_drop = jnp.sum(dropped)
+
+    def repair(t):
+        return t.at[jnp.where(dropped, sorted_idx, T)].add(
+            jnp.where(dropped[:, None], sorted_vals, 0.0), mode="drop")
+
+    return jax.lax.cond(n_drop > 0, repair, lambda t: t, out)
+
+
+@functools.partial(jax.jit, donate_argnums=(2,))
+def scatter_add_sorted(idx: jax.Array, vals: jax.Array,
+                       table: jax.Array) -> jax.Array:
+    """Unsorted scatter-add via sort + block-matmul segment sum.
+
+    Drop-in for table.at[idx].add(vals): sorts (XLA sort, the measured
+    50M rows/s path), then reduces with the Pallas kernel above.
+    """
+    order = jnp.argsort(idx)
+    return sorted_segment_sum(idx[order].astype(jnp.int32),
+                              vals[order], table)

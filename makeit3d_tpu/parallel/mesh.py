@@ -59,16 +59,27 @@ def batch_shardings(mesh: Mesh, batch) -> Dict:
     }
 
 
-def shard_train_step(step_fn, mesh: Mesh, batch: Dict):
+def shard_train_step(step_fn, mesh: Mesh, batch: Dict, gparams=None):
     """jit the train step with data-sharded rays + replicated state.
 
     Returns (jitted_fn, placed_batch_shardings). Parameters/optimizer
     state/grid are replicated: grads come out of a sharded loss reduced
     over data (XLA emits the psum over ICI); the Adan update then runs
     replicated on every device.
+
+    `gparams` (only meaningful on a 2-D mesh with a "model" axis): the
+    frozen guidance tower params. Their batch entry then gets the
+    tensor-parallel shardings from parallel/tp.py instead of replication,
+    so the single-view steps run the same data x model partitioning as
+    the multi-view path (shard_mv_tp_step).
     """
     repl = NamedSharding(mesh, P())
     b_shard = batch_shardings(mesh, batch)
+    if gparams is not None and "model" in mesh.axis_names \
+            and "gparams" in b_shard:
+        from .tp import tp_param_shardings
+
+        b_shard["gparams"] = tp_param_shardings(gparams, mesh, axis="model")
     jitted = jax.jit(
         step_fn,
         in_shardings=(repl, repl, repl, repl, b_shard),

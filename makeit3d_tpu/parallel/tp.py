@@ -37,14 +37,23 @@ _ROW_PARALLEL = ("to_out_0", "net_2")
 def make_tp_mesh(n_devices: int, axis: str = "model") -> Mesh:
     import numpy as np
 
-    return Mesh(np.asarray(jax.devices()[:n_devices]), (axis,))
+    devs = jax.devices()
+    if len(devs) < n_devices:
+        # jax.devices()[:n] would silently yield a smaller mesh (TP=4
+        # when --mesh_model 8 was asked for); fail loudly like
+        # make_mesh_2d does
+        raise ValueError(
+            f"need {n_devices} devices for tensor parallelism, "
+            f"have {len(devs)}")
+    return Mesh(np.asarray(devs[:n_devices]), (axis,))
 
 
 def _spec_for(path_names, leaf, n: int) -> P:
-    name = "/".join(path_names)
     if leaf.ndim < 2:
         return P()
-    if any(tag in name for tag in _ROW_PARALLEL):
+    # exact path-component match (not substring of the joined path: a
+    # future param named e.g. net_20 must not be mis-tagged row-parallel)
+    if any(tag in path_names for tag in _ROW_PARALLEL):
         # kernel [din, dout]: shard din
         if leaf.shape[-2] % n == 0:
             return P(*([None] * (leaf.ndim - 2) + ["model", None]))

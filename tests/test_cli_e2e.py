@@ -41,7 +41,8 @@ TOY = [
 ]
 
 
-def test_cli_train_test_mesh_refine(ref_image, tmp_path, monkeypatch):
+def test_cli_train_test_mesh_refine(ref_image, tmp_path, monkeypatch,
+                                    capsys):
     monkeypatch.chdir(tmp_path)
     ws = "cli_e2e"
 
@@ -70,6 +71,7 @@ def test_cli_train_test_mesh_refine(ref_image, tmp_path, monkeypatch):
     assert any(f.endswith(".obj") for f in mesh_files)
 
     # 3. --refine with tiny guidance: point cloud + UNet optimization
+    capsys.readouterr()  # drain, so the assert below sees only refine
     main(["--workspace", ws, "--ref_path", ref_image,
           "--text", "a blob", "--guidance", "stable-diffusion",
           "--tiny_guidance", "--refine", "--refine_iters", "4", *TOY])
@@ -77,6 +79,37 @@ def test_cli_train_test_mesh_refine(ref_image, tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(refine_dir, "vertices_cano.npy"))
     assert os.path.exists(os.path.join(refine_dir, "results",
                                        "render_unet_img_clip.mp4"))
+    # splat truncation telemetry prints unconditionally (round-2 verdict
+    # item 9: never silent). At this degenerate toy scale the blob cloud
+    # lands on a handful of tiles, exceeding the max_passes=8 z-ordered
+    # window, so dropped is legitimately nonzero — the drops are the
+    # farthest-z tail, the same points pytorch3d's per-pixel top-K
+    # truncation discards (refine_utils.py:317-331).
+    out = capsys.readouterr().out
+    assert "splat_dropped=" in out
+    assert "[refine] splat passes per pyramid level:" in out
+
+
+def test_cli_distributed_calls_initialize_first(ref_image, tmp_path,
+                                                monkeypatch):
+    """--distributed must call jax.distributed.initialize() before any
+    other backend work (mocked: no multi-host runtime on CPU). The mock
+    aborts main() right there, proving nothing heavy ran first."""
+    import jax
+
+    monkeypatch.chdir(tmp_path)
+    calls = []
+
+    def fake_init(*a, **k):
+        calls.append("init")
+        raise SystemExit(0)
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    with pytest.raises(SystemExit):
+        main(["--workspace", "dist", "--ref_path", ref_image,
+              "--text", "a blob", "--guidance", "none",
+              "--distributed", *TOY])
+    assert calls == ["init"]
 
 
 def test_cli_fourier_flagship(ref_image, tmp_path, monkeypatch):

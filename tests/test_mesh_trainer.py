@@ -9,6 +9,7 @@ same train step.
 
 import jax
 import numpy as np
+import pytest
 
 from makeit3d_tpu.config import Config
 
@@ -70,3 +71,117 @@ def test_sharded_trainer_matches_single_device(tmp_path):
     # checkpointing / host snapshots without cross-device gathers)
     leaf = jax.tree.leaves(tr_8.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+# --- guided parallelism: TP towers and the 2-D data x model mesh ------
+# (round-2 verdict item 3 + advisor finding 1: the production
+# --mesh_model / --mesh_data x --mesh_model paths must run through the
+# real Trainer step variants, not just parallel/{tp,mesh}.py directly)
+
+GUIDED_KW = dict(
+    h=32, w=32,
+    max_steps=64,
+    train_samples_per_ray=16,
+    eval_samples_per_ray=16,
+    grid_size=32,
+    lambda_smooth=0.0,
+    albedo_iters=0,
+    diff_iters=1,        # SDS active from the first step
+    iters=50,
+    guidance="stable-diffusion",
+    backbone="fourier",
+    mlp_hidden=32, mlp_layers=3, mlp_multires=4,
+    text="a teddy bear",
+)
+
+
+def _make_guided_trainer(ws, mesh_data, mesh_model, views_per_step=1,
+                         seed=11):
+    from makeit3d_tpu.guidance.sd import StableDiffusionGuidance
+    from makeit3d_tpu.training.trainer import Trainer
+
+    guidance = StableDiffusionGuidance(tiny=True, seed=3)
+    cfg = Config(workspace=str(ws), mesh_data=mesh_data,
+                 mesh_model=mesh_model, views_per_step=views_per_step,
+                 **GUIDED_KW)
+    return Trainer(cfg, guidance=guidance, workspace=cfg.workspace,
+                   use_checkpoint="scratch", seed=seed)
+
+
+def _assert_trainer_parity(tr_a, tr_b, steps):
+    """Drive both trainers through the same views; losses and final
+    params must agree. The FIRST step runs from bit-identical state so
+    its loss gets a tight reassociation-only bound; later steps run on
+    states that already differ at reassociation scale, which Adan's
+    eps-normalized update amplifies on near-zero-grad coords (same
+    phenomenon and bound as tests/test_multiview.py) — hence the looser
+    per-step bound after step one."""
+    for i, (label, view) in enumerate(steps):
+        ma, _ = tr_a.step(view)
+        mb, _ = tr_b.step(view)
+        rtol = 1e-4 if i == 0 else 5e-2
+        np.testing.assert_allclose(
+            float(ma["loss"]), float(mb["loss"]), rtol=rtol, atol=1e-6,
+            err_msg=f"loss diverged at {label}")
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(tr_a.params),
+        jax.tree_util.tree_leaves_with_path(tr_b.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-2, atol=2e-4,
+            err_msg=f"param {jax.tree_util.keystr(pa)} diverged")
+
+
+def test_tp_trainer_matches_replicated(tmp_path):
+    """--mesh_model 8 through the full Trainer: guidance towers sharded
+    once in __init__, committed shardings propagate through every step
+    variant (front photometric + novel SDS)."""
+    from makeit3d_tpu.cameras import ViewSampler
+
+    tr_r = _make_guided_trainer(tmp_path / "repl", 1, 1)
+    tr_tp = _make_guided_trainer(tmp_path / "tp8", 1, 8)
+    # the towers physically shard: at least one kernel lives in 8 pieces
+    leaves = [x for x in jax.tree.leaves(tr_tp.guidance.params)
+              if hasattr(x, "addressable_shards") and x.ndim >= 2]
+    assert any(len(x.addressable_shards) == 8
+               and x.addressable_shards[0].data.size < x.size
+               for x in leaves)
+
+    cfg = tr_r.cfg
+    sampler = ViewSampler(cfg, type="train", H=cfg.h, W=cfg.w, size=8,
+                          seed=5)
+    steps = [(f"view {i}", sampler.get(i)) for i in range(3)]
+    _assert_trainer_parity(tr_r, tr_tp, steps)
+
+
+def test_mesh2d_trainer_production_step(tmp_path):
+    """--mesh_data 2 --mesh_model 4: the PRODUCTION multiview+TP step
+    (make_multiview_step's model-axis branch) and the single-view front
+    step both run on the 2-D mesh and match unsharded numerics."""
+    from makeit3d_tpu.cameras import ViewSampler
+
+    tr_r = _make_guided_trainer(tmp_path / "repl", 1, 1, views_per_step=2)
+    tr_2d = _make_guided_trainer(tmp_path / "m2x4", 2, 4, views_per_step=2)
+    assert tr_2d.mesh is not None
+    assert tr_2d.mesh.shape == {"data": 2, "model": 4}
+    assert tr_2d._mv_step is not None
+
+    cfg = tr_r.cfg
+    sampler = ViewSampler(cfg, type="train", H=cfg.h, W=cfg.w, size=8,
+                          seed=5)
+    steps = [
+        # the mv+TP program first: parity from bit-identical state gets
+        # the tight bound (this is the round-2 verdict item 3 claim)
+        ("novel group", [sampler.get(1), sampler.get(2)]),  # mv + TP
+        ("front single", sampler.get(0)),              # 2-D single-view
+    ]
+    _assert_trainer_parity(tr_r, tr_2d, steps)
+
+
+def test_mesh2d_without_guidance_raises(tmp_path):
+    from makeit3d_tpu.training.trainer import Trainer
+
+    cfg = Config(workspace=str(tmp_path), mesh_data=2, mesh_model=4,
+                 **CFG_KW)
+    with pytest.raises(ValueError, match="guidance"):
+        Trainer(cfg, workspace=cfg.workspace, use_checkpoint="scratch")

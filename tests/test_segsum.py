@@ -1,0 +1,65 @@
+"""Pallas sorted-segment-sum scatter (ops/pallas/segsum.py): exact
+parity with XLA's .at[].add on random, skewed, and adversarially
+sparse workloads — the correctness half of the round-2 verdict item 4
+attempt at the scatter-add ceiling (docs/TPU_NOTES.md)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from makeit3d_tpu.ops.pallas.segsum import (
+    BLOCK_ROWS,
+    WINDOW,
+    scatter_add_sorted,
+    sorted_segment_sum,
+)
+
+
+def _check(idx, vals, T):
+    idx = jnp.asarray(idx, jnp.int32)
+    vals = jnp.asarray(vals, jnp.float32)
+    want = jnp.zeros((T, vals.shape[1])).at[idx].add(vals)
+    got = scatter_add_sorted(idx, vals, jnp.zeros((T, vals.shape[1])))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_random_dense_workload(rng):
+    # hash-workload regime: rows >> slots (every slot hit many times)
+    M, T, F = 8192, 256, 2
+    _check(rng.integers(0, T, M), rng.normal(size=(M, F)), T)
+
+
+def test_skewed_hot_slots(rng):
+    # coarse-level regime: a handful of hot cells take most rows
+    M, T, F = 4096, 4096, 2
+    idx = np.where(rng.random(M) < 0.9, rng.integers(0, 8, M),
+                   rng.integers(0, T, M))
+    _check(idx, rng.normal(size=(M, F)), T)
+
+
+def test_sparse_block_span_repair(rng):
+    # adversarial: indices spaced > 2*WINDOW apart within one block, so
+    # the kernel MUST drop them and the lax.cond repair must fire
+    M, F = BLOCK_ROWS, 2
+    T = 8 * WINDOW * BLOCK_ROWS // 128  # huge sparse table
+    idx = (np.arange(M) * (3 * WINDOW)) % T
+    _check(np.sort(idx), rng.normal(size=(M, F)), T)
+
+
+def test_unpadded_tail_and_tiny_table(rng):
+    # M not a multiple of BLOCK_ROWS; T smaller than one window
+    M, T, F = BLOCK_ROWS + 37, 100, 2
+    _check(rng.integers(0, T, M), rng.normal(size=(M, F)), T)
+
+
+def test_sorted_input_path(rng):
+    M, T, F = 4096, 512, 2
+    idx = np.sort(rng.integers(0, T, M)).astype(np.int32)
+    vals = rng.normal(size=(M, F)).astype(np.float32)
+    want = jnp.zeros((T, F)).at[jnp.asarray(idx)].add(jnp.asarray(vals))
+    got = sorted_segment_sum(jnp.asarray(idx), jnp.asarray(vals),
+                             jnp.zeros((T, F)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -91,3 +91,53 @@ def test_frontal_fit_loss_decreases(tiny_cfg):
                         __import__("jax").tree.leaves(tr2.params)])
     )
     np.testing.assert_allclose(p1, p2)
+
+
+def test_smooth_subset_estimates_full():
+    """smooth_subset < 1 (renderer.py / round-2 verdict item 5b): the
+    subsampled perturbed-normal smooth loss is finite and averages to
+    the full-eval value — a fresh-rows-per-step unbiased estimator of
+    the reference's every-sample eval (renderer.py:521-524)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from makeit3d_tpu.cameras import ViewSampler
+    from makeit3d_tpu.models.field import make_field
+    from makeit3d_tpu.models.renderer import (
+        RenderSettings, render_occupancy,
+    )
+    from makeit3d_tpu.ops.grid import init_density_grid
+
+    cfg = Config(h=24, w=24, max_steps=64, train_samples_per_ray=16,
+                 grid_size=32, guidance="none", backbone="fourier",
+                 mlp_hidden=32, mlp_layers=3, mlp_multires=4)
+    field = make_field(cfg)
+    params = field.init(jax.random.PRNGKey(0), jnp.zeros((8, 3)),
+                        jnp.zeros((8, 3)))
+    grid = init_density_grid(cfg.cascade, cfg.grid_size)
+    grid = grid._replace(occ=jnp.ones_like(grid.occ))
+    sampler = ViewSampler(cfg, type="train", H=cfg.h, W=cfg.w, size=4,
+                          seed=0)
+    v = sampler.get(1)
+    ro = jnp.asarray(v.rays_o.reshape(-1, 3))
+    rd = jnp.asarray(v.rays_d.reshape(-1, 3))
+    base = RenderSettings.from_config(cfg, training=True)
+
+    def run(subset, k):
+        s = dataclasses.replace(base, smooth_subset=subset)
+        out = render_occupancy(field, params, grid, ro, rd, s, k,
+                               training=True, shading_mode=1,
+                               ambient_ratio=0.1, bg_color=1.0,
+                               perturb=True)
+        return float(out["loss_smooth"])
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 6)
+    full = run(1.0, keys[0])
+    subs = [run(0.25, k) for k in keys]
+    assert all(np.isfinite(x) for x in subs)
+    assert all(x >= 0 for x in subs)
+    # loose estimator bound: the mean over draws tracks the full value
+    assert abs(float(np.mean(subs)) - full) < 0.5 * max(full, 1e-3), (
+        f"subset smooth loss {np.mean(subs):.5f} far from full {full:.5f}")
