@@ -180,6 +180,13 @@ class Config:
     # the scatter runs as K pipelined invocations of one executable.
     # 0 = default (2^20).
     scatter_slice_rows: int = 0
+    # Table-gradient scatter formulation inside the encode split:
+    # "sorted" = XLA sort + Pallas block-matmul segment sum
+    # (ops/pallas/segsum.py, ~2x over the XLA scatter-add ceiling);
+    # "vjp" = jax.vjp of the encode forward (pure XLA, round-2 path).
+    # None = auto: "sorted" on TPU backends, "vjp" elsewhere (the Pallas
+    # kernel would run in interpret mode on CPU — orders slower).
+    scatter_impl: Optional[str] = None
     # paths to locally available pretrained weights (no network egress):
     sd_weights: Optional[str] = None
     clip_weights: Optional[str] = None

@@ -721,6 +721,22 @@ def make_split_evals(field, variables, feats, positions, M: int,
     return field_eval, (smooth_eval if compute_smooth else None)
 
 
+def make_split_albedo_eval(field, variables, feats, positions, M: int,
+                           chunk: int = 1 << 17):
+    """field_eval closure for the ALBEDO-mode encode split: positions
+    and feats hold only the M center rows (build_probe_layout with
+    shaded=False). color = albedo directly; normals are zeros (the
+    albedo program computes no orient/smooth losses — reference gates
+    them on `normals is not None`, renderer.py:513-524)."""
+
+    def field_eval(flat_x, flat_d, light_d):
+        sigma, albedo = common_from_feats_chunked(
+            field, variables, feats[:M], positions[:M], chunk=chunk)
+        return sigma, albedo, jnp.zeros_like(albedo)
+
+    return field_eval
+
+
 def make_field(cfg) -> nn.Module:
     """Backbone factory (reference: main.py:101-106).
 

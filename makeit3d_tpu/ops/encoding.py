@@ -191,6 +191,62 @@ class HashGridEncoder:
         gtab, _ = jax.lax.scan(chunk_body, gtab0, (xp, dp))
         return gtab.reshape(L, T, F)
 
+    def grad_table_sorted(self, x: jnp.ndarray, dfeat: jnp.ndarray,
+                          chunk: int = 1 << 16) -> jnp.ndarray:
+        """Same table cotangent as grad_table_flat, but the per-chunk
+        scatter-add goes through the Pallas sorted-segment-sum pipeline
+        (ops/pallas/segsum.py): XLA sort by flattened [L*T] slot, then a
+        block one-hot MXU matmul reduces each 1024-row run into aligned
+        window partials, combined with ONE fat-slab scatter. Beats the
+        ~20M rows/s XLA scatter-add ceiling by ~2x on the albedo
+        workload (the remaining wall is the sort itself at ~50M rows/s —
+        scripts/probe_sorted_scatter.py, docs/TPU_NOTES.md). Equivalent
+        tier in the reference: tiny-cuda-nn's fused hash backward
+        (global atomics at memory speed, nerf/network_tcnn.py:54-65)."""
+        from .pallas.segsum import sorted_segment_sum
+
+        N = x.shape[0]
+        L, F, T = self.n_levels, self.n_features, self.table_size
+        resolutions = jnp.asarray(self.resolutions, jnp.float32)
+        tsize = jnp.uint32(T)
+        n_chunks = max(-(-N // chunk), 1)
+        pad = n_chunks * chunk - N
+        xp = jnp.pad(x, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
+        dp = jnp.pad(dfeat.astype(jnp.float32),
+                     ((0, pad), (0, 0))).reshape(n_chunks, chunk, L, F)
+        lvl_off = (jnp.arange(L, dtype=jnp.uint32) * tsize)[None, :]
+
+        def chunk_body(gtab, inp):
+            xx, dd = inp  # [chunk, 3], [chunk, L, F]
+            xs = xx[:, None, :] * resolutions[None, :, None]
+            x0f = jnp.floor(xs)
+            w = xs - x0f
+            x0 = jnp.asarray(x0f, jnp.uint32)
+            idxs, vals = [], []
+            for c in range(8):
+                ox, oy, oz = c & 1, (c >> 1) & 1, (c >> 2) & 1
+                h = (x0[..., 0] + jnp.uint32(ox)) * jnp.uint32(_PRIMES[0])
+                h = h ^ ((x0[..., 1] + jnp.uint32(oy))
+                         * jnp.uint32(_PRIMES[1]))
+                h = h ^ ((x0[..., 2] + jnp.uint32(oz))
+                         * jnp.uint32(_PRIMES[2]))
+                idxs.append(h % tsize + lvl_off)  # [chunk, L]
+                wc = (
+                    (w[..., 0] if ox else 1.0 - w[..., 0])
+                    * (w[..., 1] if oy else 1.0 - w[..., 1])
+                    * (w[..., 2] if oz else 1.0 - w[..., 2])
+                )
+                vals.append(dd * wc[..., None].astype(jnp.float32))
+            idx = jnp.stack(idxs).reshape(-1).astype(jnp.int32)
+            val = jnp.stack(vals).reshape(-1, F)
+            order = jnp.argsort(idx)
+            gtab = sorted_segment_sum(idx[order], val[order], gtab)
+            return gtab, None
+
+        gtab0 = jnp.zeros((L * T, F), jnp.float32)
+        gtab, _ = jax.lax.scan(chunk_body, gtab0, (xp, dp))
+        return gtab.reshape(L, T, F).astype(dfeat.dtype)
+
     def grad_table(self, x: jnp.ndarray, dfeat: jnp.ndarray,
                    chunk: int = 1 << 17,
                    index_dtype=None) -> jnp.ndarray:

@@ -64,17 +64,33 @@ from ..models.renderer import march_stage
 from ..ops.encoding import HashGridEncoder
 
 
-def build_probe_layout(field, settings, flat_x, k_smooth):
-    """All field-eval positions of one shaded step, as one [P, 3] array.
+def resolve_scatter_impl(cfg) -> str:
+    """Which table-gradient scatter formulation the split uses.
+    None = auto: the Pallas sorted-segment-sum pipeline on TPU (beats
+    the XLA scatter-add ceiling ~2x), the pure-XLA vjp formulation
+    elsewhere (interpret-mode Pallas on CPU is orders slower)."""
+    impl = getattr(cfg, "scatter_impl", None)
+    if impl is None:
+        impl = "sorted" if jax.default_backend() == "tpu" else "vjp"
+    assert impl in ("sorted", "vjp"), impl
+    return impl
 
-    Layout: [7M main-probe rows | 7M smooth-probe rows] with M =
+
+def build_probe_layout(field, settings, flat_x, k_smooth,
+                       shaded: bool = True):
+    """All field-eval positions of one step, as one [P, 3] array.
+
+    Shaded layout: [7M main-probe rows | 7M smooth-probe rows] with M =
     flat_x.shape[0]; probe order within each block follows
     probe_positions (center, +x, -x, +y, -y, +z, -z). The smooth block
     exists only when settings.compute_smooth. make_split_evals slices
-    by this exact layout.
+    by this exact layout. Albedo layout (shaded=False): just the M
+    center rows — no FD probes, no smooth eval.
     """
     from ..models.field import probe_positions
 
+    if not shaded:
+        return flat_x
     eps = field.fd_epsilon
     parts = probe_positions(flat_x, eps, field.bound)
     if settings.compute_smooth:
@@ -102,15 +118,21 @@ def encode_chunked(field, params, x, chunk: int):
 
 def make_split_encode_step(cfg, field, optimizer, settings, guidance,
                            is_front: bool, salt: int = 0,
-                           with_sds: bool = True):
-    """Two-program shaded train step; drop-in for make_train_step's
+                           with_sds: bool = True, shaded: bool = True):
+    """Two-program train step; drop-in for make_train_step's
     (params, opt_state, grid, key, batch) -> (params, opt_state,
     metrics, aux) contract. Only valid for hash-grid backbones
-    (needs the encode / common_from_feats split)."""
+    (needs the encode / common_from_feats split).
+
+    shaded=False builds the albedo-mode split: center rows only (no FD
+    probes, no smooth block). The fused albedo program SURVIVES on the
+    v5e — the albedo split exists purely so the table scatter can route
+    through the sorted-segment-sum pipeline (cfg.scatter_impl="sorted"),
+    which the fused program's XLA-autodiff scatter cannot."""
     from .trainer import build_loss_fn
 
     loss_fn = build_loss_fn(cfg, field, settings, guidance, is_front,
-                            shaded=True, with_sds=with_sds)
+                            shaded=shaded, with_sds=with_sds)
     bound = float(field.bound)
     encoder = HashGridEncoder(
         n_levels=field.hash_levels,
@@ -136,7 +158,8 @@ def make_split_encode_step(cfg, field, optimizer, settings, guidance,
         m = march_stage(grid, batch["rays_o"], batch["rays_d"], settings,
                         k_march, perturb=True)
         flat_x = m.xyzs.reshape(-1, 3)
-        positions = build_probe_layout(field, settings, flat_x, k_smooth)
+        positions = build_probe_layout(field, settings, flat_x, k_smooth,
+                                       shaded=shaded)
         # computed OUTSIDE the differentiated function: autodiff below
         # never sees the table -> no scatter in this program's backward
         feats = encode_chunked(field, params, positions,
@@ -175,10 +198,16 @@ def make_split_encode_step(cfg, field, optimizer, settings, guidance,
         jnp.float32)
     chunk = settings.field_chunk
 
+    scatter_impl = resolve_scatter_impl(cfg)
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def scatter_program(gtab, pos_slice, df_slice):
         # same [0,1] mapping as HashGridField.encode
         x01 = (pos_slice + bound) / (2.0 * bound)
+        if scatter_impl == "sorted":
+            return gtab + encoder.grad_table_sorted(
+                x01, df_slice.astype(jnp.float32), chunk=min(chunk, 1 << 16)
+            ).astype(gtab.dtype)
         P = x01.shape[0]
         n_chunks = max(-(-P // chunk), 1)
         pad = n_chunks * chunk - P

@@ -92,16 +92,25 @@ def build_loss_fn(cfg, field, settings, guidance, is_front: bool,
             # encode-split stage 3: the field runs over pre-encoded hash
             # features; this program never touches the table
             # (training/split_step.py)
-            from ..models.field import make_split_evals
+            if shaded:
+                from ..models.field import make_split_evals
 
-            field_eval, smooth_eval = make_split_evals(
-                field, params, feats, positions,
-                M=H * W * settings.n_samples,
-                light_d_ratio_shading=(batch["ambient_ratio"],
-                                       batch["shading_mode"]),
-                chunk=settings.field_chunk,
-                compute_smooth=settings.compute_smooth,
-            )
+                field_eval, smooth_eval = make_split_evals(
+                    field, params, feats, positions,
+                    M=H * W * settings.n_samples,
+                    light_d_ratio_shading=(batch["ambient_ratio"],
+                                           batch["shading_mode"]),
+                    chunk=settings.field_chunk,
+                    compute_smooth=settings.compute_smooth,
+                )
+            else:
+                from ..models.field import make_split_albedo_eval
+
+                field_eval = make_split_albedo_eval(
+                    field, params, feats, positions,
+                    M=H * W * settings.n_samples,
+                    chunk=settings.field_chunk,
+                )
 
         out = render_occupancy(
             field, params, grid,
@@ -408,12 +417,20 @@ def make_step_variant(cfg, field, optimizer, settings, guidance, *,
             gparams=(guidance.params if guidance is not None
                      and "model" in mesh.axis_names else None))
         return fn
-    if shaded and resolve_split_encode(cfg, field):
+    # Albedo steps also take the split — but only to reach the sorted-
+    # segment-sum scatter (the fused albedo program survives on the v5e
+    # and is equally fast under the plain XLA scatter formulations).
+    from .split_step import resolve_scatter_impl
+
+    use_split = resolve_split_encode(cfg, field) and (
+        shaded or resolve_scatter_impl(cfg) == "sorted")
+    if use_split:
         from .split_step import make_split_encode_step
 
         return make_split_encode_step(
             cfg, field, optimizer, settings, guidance,
-            is_front=is_front, salt=salt, with_sds=with_sds)
+            is_front=is_front, salt=salt, with_sds=with_sds,
+            shaded=shaded)
     return make_train_step(
         cfg, field, optimizer, settings, guidance, is_front=is_front,
         salt=salt, shaded=shaded, with_sds=with_sds)

@@ -63,3 +63,19 @@ def test_sorted_input_path(rng):
                              jnp.zeros((T, F)))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_grad_table_sorted_matches_grad_table():
+    """HashGridEncoder.grad_table_sorted (the production wiring of this
+    kernel, training/split_step.py scatter_impl="sorted") == the plain
+    scatter formulation, including the chunked/padded path."""
+    from makeit3d_tpu.ops.encoding import HashGridEncoder
+
+    enc = HashGridEncoder(n_levels=2, n_features=2, log2_hashmap_size=10,
+                          base_resolution=4, desired_resolution=16)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (300, 3))
+    dfeat = jax.random.normal(jax.random.PRNGKey(2), (300, enc.output_dim))
+    want = enc.grad_table(x, dfeat, chunk=128)
+    got = enc.grad_table_sorted(x, dfeat, chunk=128)  # padded tail
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)

@@ -114,6 +114,50 @@ def test_split_step_matches_fused(tmp_path):
             err_msg=f"param {jax.tree_util.keystr(pa)} diverged")
 
 
+def test_split_albedo_step_matches_fused(tmp_path):
+    """The ALBEDO-mode encode split (centers only, no probe blocks —
+    exists so the table scatter can take the sorted-segment-sum path on
+    TPU) is a pure re-partitioning of the fused albedo program."""
+    from makeit3d_tpu.cameras import ViewSampler
+    from makeit3d_tpu.training.trainer import Trainer
+
+    kw = dict(CFG_KW, albedo_iters=10_000)  # every step albedo-mode
+    trainers = []
+    for name, split in (("fused", False), ("split", True)):
+        cfg = Config(workspace=str(tmp_path / name), split_encode=split,
+                     scatter_impl="vjp" if split else None, **kw)
+        tr = Trainer(cfg, workspace=cfg.workspace, use_checkpoint="scratch",
+                     seed=7)
+        trainers.append(tr)
+    tr_a, tr_b = trainers
+    # force the albedo split variant to actually build (on CPU the
+    # resolve gates would pick the fused program); key = (front, shaded,
+    # with_sds)
+    from makeit3d_tpu.training.split_step import make_split_encode_step
+
+    tr_b._train_step[(False, False, False)] = make_split_encode_step(
+        tr_b.cfg, tr_b.field, tr_b.optimizer, tr_b.settings_train, None,
+        is_front=False, with_sds=False, shaded=False)
+
+    sampler = ViewSampler(tr_a.cfg, type="train", H=tr_a.cfg.h,
+                          W=tr_a.cfg.w, size=16, seed=1)
+    view = sampler.get(1)  # novel view, albedo phase
+    m_a, _ = tr_a.step(view)
+    m_b, _ = tr_b.step(view)
+    assert set(m_a) == set(m_b)
+    for k in m_a:
+        np.testing.assert_allclose(
+            float(m_a[k]), float(m_b[k]), rtol=1e-4, atol=1e-6,
+            err_msg=f"metric {k} diverged")
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(tr_a.params),
+        jax.tree_util.tree_leaves_with_path(tr_b.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-4,
+            err_msg=f"param {jax.tree_util.keystr(pa)} diverged")
+
+
 def test_split_step_updates_table_with_smooth(tmp_path):
     """With the smooth loss ON, the split step runs both probe blocks,
     produces finite metrics, and actually moves the hash table (the
