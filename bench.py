@@ -377,6 +377,32 @@ def main():
         text_z = guidance.get_text_embeds(["a teddy bear"], [""])
         text_pooled = guidance.clip_text_embeds("a teddy bear")
 
+        def flash_attn_flops():
+            """Analytic FLOPs of attention calls that dispatch to the
+            Pallas flash kernel inside one SDS step — XLA's cost model
+            sees the custom call as ~0 FLOPs (same treatment as
+            pallas_flops above). Candidate call sites and their head
+            dims (models/sd/layers.py): the SD2 UNet self-attentions at
+            the 64^2 latent (N=4096, 2+3 layers, C=320, d=64) and 32^2
+            (N=1024, 2+3 layers, C=640, d=64) under the CFG batch of 2,
+            forward-only (eps_hat is stop-gradient'd); and the VAE
+            encoder mid-block attention (N=4096, C=512, single head
+            d=512, B=1), fwd + ~2x bwd (it sits in the SDS grad path).
+            _flash_eligible decides per-site (d>=128 gate: the UNet's
+            d=64 shapes measured slower on the kernel). Each attention
+            costs 4*B*N^2*C FLOPs (QK^T + AV)."""
+            from makeit3d_tpu.models.sd.layers import _flash_eligible
+
+            total = 0.0
+            for layers, N, C, d, B, passes in (
+                (5, 4096, 320, 64, 2, 1.0),    # UNet 64^2, fwd
+                (5, 1024, 640, 64, 2, 1.0),    # UNet 32^2, fwd
+                (1, 4096, 512, 512, 1, 3.0),   # VAE mid, fwd + bwd
+            ):
+                if _flash_eligible(N, N, d):
+                    total += layers * passes * 4.0 * B * N * N * C
+            return total
+
         def run_sds(sds_cfg, salt):
             sds_settings = RenderSettings.from_config(sds_cfg, training=True)
             sds_step = make_step_variant(
@@ -399,6 +425,8 @@ def main():
             p2, o2, m, _ = sds_step(params, opt_state, grid, key, batch)
             _ = float(np.asarray(m["loss"]))  # fetch = true completion
             fl = measure_flops(sds_step, params, opt_state, grid, key, batch)
+            if fl is not None:
+                fl += flash_attn_flops()
             n_sds = 10
             t0 = time.time()
             for _i in range(n_sds):
@@ -454,13 +482,21 @@ def main():
             _ = float(np.asarray(m["loss"]))
             return n_it * len(vs) / (time.time() - t0)
 
-        attempts = [(cfg, 0), (cfg, 1),
+        # attempt ladder: auto attention (flash kernel on eligible
+        # shapes) first; einsum-forced second so a Mosaic regression can
+        # never cost the tracked metric; 64^2 render last
+        from makeit3d_tpu.models.sd.layers import set_attention_impl
+
+        attempts = [(cfg, 0, "auto"), (cfg, 1, "einsum"),
                     (Config(guidance="none", backbone="fourier",
-                            h=64, w=64), 2)]
+                            h=64, w=64), 2, "einsum")]
         last_err = None
-        for sds_cfg, salt in attempts:
+        for sds_cfg, salt, attn_impl in attempts:
             try:
+                set_attention_impl(attn_impl)
                 ips, fl = run_sds(sds_cfg, salt)
+                if attn_impl != "auto":
+                    add_note(report, f"sds attention impl: {attn_impl}")
                 # the tracked metric lands in the report the moment it
                 # exists — the mv add-on below must not hold it hostage
                 report["sds_iters_per_sec"] = round(ips, 3)

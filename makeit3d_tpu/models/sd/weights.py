@@ -55,6 +55,29 @@ def _merge_numeric(segments):
 _STRIP_PREFIXES = ("text_model.", "vision_model.", "model.", "module.")
 
 
+def _walk_path(trie, segs):
+    """Match merged torch segments against the flax-path trie, joining
+    adjacent segments with '_' where the flax module name is flat
+    ("down_blocks_0_resnets_1" is ONE flax module for the diffusers
+    nesting "down_blocks.0.resnets.1"). Returns the matched flax path
+    tuple — which must end on a parameter leaf — or None."""
+
+    def dfs(node, i, acc):
+        if i == len(segs):
+            return tuple(acc) if not node else None  # leaf == empty dict
+        name = None
+        for j in range(i, len(segs)):
+            name = segs[i] if j == i else name + "_" + segs[j]
+            child = node.get(name)
+            if child is not None:
+                r = dfs(child, j + 1, acc + [name])
+                if r is not None:
+                    return r
+        return None
+
+    return dfs(trie, 0, [])
+
+
 def port_torch_to_flax(
     torch_sd: Dict[str, np.ndarray],
     flax_params: Dict[str, Any],
@@ -73,6 +96,21 @@ def port_torch_to_flax(
         keys = tuple(getattr(p, "key", getattr(p, "name", str(p))) for p in path)
         flax_index[keys] = leaf
 
+    # Trie over the flax paths. Matching walks it consuming 1..k merged
+    # torch segments joined by "_" per level, because the flax modules
+    # use FLAT names ("down_blocks_0_resnets_1" is ONE module) while
+    # diffusers keys nest ("down_blocks.0.resnets.1"). The previous
+    # exact-tuple lookup only ever matched twins whose torch attribute
+    # names were pre-flattened; real diffusers keys missed silently, and
+    # an unconditional drop of 'encoder' segments (a transformers-CLIP
+    # hack) orphaned the VAE encoder entirely (caught by
+    # tests/test_sds_grad_parity.py via diverging latents).
+    trie: Dict[str, Any] = {}
+    for keys in flax_index:
+        node = trie
+        for k in keys:
+            node = node.setdefault(k, {})
+
     new_leaves = dict(flax_index)
     matched, missed = 0, []
 
@@ -81,27 +119,37 @@ def port_torch_to_flax(
         for pref in _STRIP_PREFIXES:
             if key.startswith(pref):
                 key = key[len(pref):]
-        segs = key.split(".")
-        # transformers CLIP: embeddings.* and encoder.layers.* flatten
-        segs = [s for s in segs if s not in ("embeddings", "encoder")]
-        leaf_name = segs[-1]
-        segs = _merge_numeric(segs[:-1])
-
-        if leaf_name == "weight":
-            # last resort (): modules storing the tensor as a plain
-            # param named by the parent segment, e.g. transformers CLIP
-            # "position_embedding.weight" -> flax (...,"position_embedding")
-            candidates = [("kernel",), ("scale",), ("embedding",), ()]
-        elif leaf_name == "bias":
-            candidates = [("bias",)]
-        else:  # plain parameters keep their own name
-            candidates = [(leaf_name,), ()]
+        raw = key.split(".")
+        # exact path first; the flattened variant serves transformers
+        # CLIP, whose embeddings.*/encoder.layers.* wrappers have no
+        # flax module
+        variants = [raw]
+        flat_segs = [s for s in raw if s not in ("embeddings", "encoder")]
+        if flat_segs != raw:
+            variants.append(flat_segs)
 
         hit = None
-        for cand in candidates:
-            k = tuple(segs) + cand
-            if k in flax_index:
-                hit = k
+        for segs_v in variants:
+            leaf_name = segs_v[-1]
+            segs = _merge_numeric(segs_v[:-1])
+            if leaf_name == "weight":
+                # () covers modules storing the tensor as a plain param
+                # named by the parent segment, e.g. transformers CLIP
+                # "position_embedding.weight" -> (..., "position_embedding")
+                candidates = ("kernel", "scale", "embedding", None)
+            elif leaf_name == "bias":
+                candidates = ("bias",)
+            else:  # plain parameters keep their own name
+                candidates = (leaf_name, None)
+            for cand in candidates:
+                tail = segs + ([cand] if cand else [])
+                # a successful walk must end on a LEAF node ({} in trie);
+                # record the path by re-walking with memo of names
+                path = _walk_path(trie, tail)
+                if path is not None and path in flax_index:
+                    hit = path
+                    break
+            if hit is not None:
                 break
         if hit is None:
             missed.append(tkey)

@@ -64,3 +64,39 @@ def test_linear_and_norm_mapping():
     for k in kernel_path:
         got = got[k]
     np.testing.assert_allclose(np.asarray(got), w.T)
+
+
+def test_vae_encoder_tensors_port():
+    """Regression: an unconditional drop of 'encoder' path segments (a
+    transformers-CLIP flattening hack) orphaned EVERY diffusers
+    encoder.* tensor — the flax VAE encoder silently kept its random
+    init while the decoder ported fine. Caught via the SDS grad-parity
+    fixture's diverging latents."""
+    from makeit3d_tpu.models.sd.vae import AutoencoderKL
+
+    vae = AutoencoderKL(block_out_channels=(32, 64))
+    params = vae.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 16, 16, 3)),
+                      jax.random.PRNGKey(1))["params"]
+
+    rng = np.random.default_rng(0)
+    conv = rng.standard_normal((32, 3, 3, 3)).astype(np.float32)  # OIHW
+    norm = rng.standard_normal((32,)).astype(np.float32)
+    torch_sd = {
+        "encoder.conv_in.weight": conv,
+        "encoder.down_blocks_0_resnets_0.norm1.weight": norm,
+        # diffusers dotted-numeric form must land on the same leaves
+        "encoder.down_blocks.0.resnets.1.norm1.weight": norm * 2.0,
+    }
+    ported = port_torch_to_flax(torch_sd, params)
+    np.testing.assert_allclose(
+        np.asarray(ported["encoder"]["conv_in"]["kernel"]),
+        conv.transpose(2, 3, 1, 0))
+    np.testing.assert_allclose(
+        np.asarray(
+            ported["encoder"]["down_blocks_0_resnets_0"]["norm1"]["scale"]),
+        norm)
+    np.testing.assert_allclose(
+        np.asarray(
+            ported["encoder"]["down_blocks_0_resnets_1"]["norm1"]["scale"]),
+        norm * 2.0)
