@@ -195,6 +195,21 @@ def main(argv=None):
         import jax
 
         jax.distributed.initialize()
+    # persistent compilation cache: the trainer compiles 4-8 program
+    # variants (albedo/shaded x front/novel x sds); through the axon
+    # relay's degraded windows a single compile can take minutes, and
+    # the cache makes every rerun (and bench.py, which shares the dir)
+    # pay each compile once ever.
+    import jax
+
+    cache_dir = os.environ.get(
+        "MAKEIT3D_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     os.makedirs(cfg.workspace, exist_ok=True)
 
     random.seed(cfg.seed)

@@ -47,7 +47,7 @@ def main():
     from makeit3d_tpu.models.vgg import LPIPS
     from makeit3d_tpu.utils.metrics import psnr, ssim
 
-    cfg = Config(guidance="none", workspace="results",
+    cfg = Config(guidance="none", workspace="results/_fidelity_tmp",
                  backbone=os.environ.get("FIDELITY_BACKBONE", "hashgrid"))
     tr = Trainer(cfg, name="fidelity", use_checkpoint=ckpt)
     settings = RenderSettings.from_config(cfg, training=False)
@@ -91,6 +91,15 @@ def main():
 
         a = np.clip(occ["image"], 0, 1)
         b = np.clip(img_p, 0, 1)
+        out_dir = os.environ.get("FIDELITY_OUT")
+        if out_dir:  # commit-able orbit evidence (round-2 verdict item 6)
+            import cv2
+
+            os.makedirs(out_dir, exist_ok=True)
+            for name, img in (("occ", a), ("pure", b)):
+                cv2.imwrite(os.path.join(out_dir, f"view{i}_{name}.png"),
+                            cv2.cvtColor((img * 255).astype(np.uint8),
+                                         cv2.COLOR_RGB2BGR))
         rows.append({"view": i, "psnr": round(psnr(a, b), 2),
                      "ssim": round(ssim(a, b), 4),
                      "lpips": round(float(lpips_j(jnp.asarray(a),
@@ -110,6 +119,10 @@ def main():
         "res": res,
         "ckpt": ckpt,
     }
+    if os.environ.get("FIDELITY_OUT"):
+        with open(os.path.join(os.environ["FIDELITY_OUT"],
+                               "fidelity.json"), "w") as f:
+            json.dump({**out, "views": rows}, f, indent=1)
 
     if prev_dir:
         prev = sorted(glob.glob(os.path.join(prev_dir, "*_rgb.png")))
