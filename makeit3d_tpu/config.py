@@ -99,7 +99,17 @@ class Config:
     theta_range: Tuple[float, float] = (70.0, 110.0)
     phi_range: Tuple[float, float] = (0.0, 360.0)
 
-    lambda_entropy: float = 1.0
+    # Binary-entropy weight (reference main.py:79 default 1.0). None =
+    # resolve in __post_init__: 1.0 under real guidance, 1e-3 under
+    # guidance="none". The entropy loss has attractors at ws=0 AND ws=1;
+    # with no guidance there is no novel-view data term to oppose the
+    # ws=1 attractor and the scene collapses to a solid opaque block
+    # (docs/TPU_NOTES.md "failure modes #2"; burned results/ab_hashgrid
+    # in round 3 when the guard lived only in the CLI). An explicit
+    # value always wins. NOTE: resolution happens at construction — a
+    # later .replace(guidance="none") keeps the already-resolved float;
+    # pass guidance at Config() time.
+    lambda_entropy: Optional[float] = None
     lambda_opacity: float = 1e-3
     lambda_orient: float = 1e-2
     lambda_smooth: float = 1.0
@@ -198,11 +208,28 @@ class Config:
     # UNet/VAE/CLIP params are sharded Megatron-style over a 'model'
     # axis (parallel/tp.py); XLA SPMD places the all-reduces on ICI.
     mesh_model: int = 1
+    # Optimization-collapse watchdog (no reference equivalent; the
+    # reference's only quality control is visual inspection, SURVEY.md
+    # §4). The known dead states are diagnosable from scalars within
+    # minutes: ws_mean pinned at ~1.0 (the solid-opaque-block entropy
+    # attractor, docs/TPU_NOTES.md "failure modes #2" — burned 86 min of
+    # TPU in results/ab_hashgrid) or a non-finite loss. The Trainer
+    # counts consecutive logging intervals in the dead state, warns at
+    # collapse_warn_intervals, and raises OptimizationCollapseError at
+    # collapse_abort_intervals (0 disables the abort; threshold <= 0
+    # disables the watchdog entirely).
+    collapse_ws_threshold: float = 0.995
+    collapse_warn_intervals: int = 5
+    collapse_abort_intervals: int = 30
     # profiling: when set, Trainer.train wraps epochs in a jax.profiler
     # trace written here (open with xprof / tensorboard). Replaces the
     # reference's commented-out manual timing probes (nerf/sd.py:123-147,
     # nerf/utils.py:495) with the standard JAX tooling.
     profile_dir: Optional[str] = None
+
+    def __post_init__(self):
+        if self.lambda_entropy is None:
+            self.lambda_entropy = 1e-3 if self.guidance == "none" else 1.0
 
     # ---- derived ----
     @property

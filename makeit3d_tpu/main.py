@@ -83,7 +83,11 @@ def parse_args(argv=None):
     p.add_argument("--fovy_range", type=float, nargs=2, default=[15, 25])
     p.add_argument("--theta_range", type=float, nargs=2, default=[70, 110])
     p.add_argument("--phi_range", type=float, nargs=2, default=[0, 360])
-    p.add_argument("--lambda_entropy", type=float, default=d.lambda_entropy)
+    # default None, NOT d.lambda_entropy: d is a default Config whose
+    # __post_init__ already resolved the sentinel to 1.0; forwarding
+    # that float would read as an explicit value and defeat the
+    # guidance=="none" -> 1e-3 resolution in Config.__post_init__.
+    p.add_argument("--lambda_entropy", type=float, default=None)
     p.add_argument("--lambda_opacity", type=float, default=d.lambda_opacity)
     p.add_argument("--lambda_orient", type=float, default=d.lambda_orient)
     p.add_argument("--lambda_smooth", type=float, default=d.lambda_smooth)
@@ -150,16 +154,14 @@ def parse_args(argv=None):
     cfg = cfg.replace(workspace=os.path.join("results", args.workspace))
     given = argv if argv is not None else sys.argv[1:]
     if cfg.guidance == "none" and "--lambda_entropy" not in given:
-        # The binary-entropy loss has attractors at ws=0 AND ws=1; with
-        # no guidance there is no novel-view data term to oppose the
-        # ws=1 attractor, and the scene runs away to a solid opaque
-        # block once mean opacity crosses 0.5 (observed: fourier 128^2,
-        # epoch 6). Guidance-free mode is geometry-from-front-view only,
-        # so default the entropy weight down unless the user set it.
-        print("[WARN] --guidance none: lambda_entropy defaulted to 1e-3 "
-              "(the w=1 entropy attractor collapses unguided scenes); "
-              "pass --lambda_entropy explicitly to override")
-        cfg = cfg.replace(lambda_entropy=1e-3)
+        # Resolution itself happens in Config.__post_init__ (the w=1
+        # entropy attractor collapses unguided scenes — the guard must
+        # cover programmatic Config users too, not just the CLI); the
+        # CLI's job is only to surface it.
+        print("[WARN] --guidance none: lambda_entropy defaulted to "
+              f"{cfg.lambda_entropy:g} (the w=1 entropy attractor "
+              "collapses unguided scenes); pass --lambda_entropy "
+              "explicitly to override")
     return cfg, args
 
 

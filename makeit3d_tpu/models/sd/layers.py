@@ -47,6 +47,14 @@ _ATTN_IMPL = [os.environ.get("MAKEIT3D_ATTENTION", "auto")]
 
 
 def set_attention_impl(impl: str):
+    """Select the attention implementation for SUBSEQUENT traces.
+
+    The impl is read at trace time: functions already jitted (and their
+    cached executables) keep whatever impl was active when they were
+    traced — calling this afterwards is a silent no-op for them. Set it
+    before building/jitting the model, or force a retrace (new static
+    args / fresh jit) after changing it. bench.py's attempt ladder works
+    because each attempt builds a fresh salted step function."""
     assert impl in ("auto", "einsum", "flash"), impl
     _ATTN_IMPL[0] = impl
 
@@ -296,7 +304,11 @@ class VaeAttention(nn.Module):
         k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
         v = nn.Dense(C, dtype=self.dtype, name="to_v")(h)
         # single head of width C; the VAE mid block sits in the SDS grad
-        # path, so the flash kernel's hand-written backward runs too
+        # path, so the flash kernel's hand-written backward runs too.
+        # Measured on v5e (docs/TPU_NOTES.md round 3): forward-only flash
+        # wins 1.9x here, fwd+bwd is a wash (68.4 ms flash vs 66.2 ms
+        # einsum, ~3% — within relay noise), so dispatching the grad path
+        # to flash costs nothing measurable and keeps one code path.
         h = scaled_attention(
             q[:, :, None, :], k[:, :, None, :], v[:, :, None, :],
             1.0 / math.sqrt(C), x.dtype)

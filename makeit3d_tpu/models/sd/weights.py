@@ -55,15 +55,25 @@ def _merge_numeric(segments):
 _STRIP_PREFIXES = ("text_model.", "vision_model.", "model.", "module.")
 
 
-def _walk_path(trie, segs):
+def _walk_path(trie, segs, leaf=None):
     """Match merged torch segments against the flax-path trie, joining
     adjacent segments with '_' where the flax module name is flat
     ("down_blocks_0_resnets_1" is ONE flax module for the diffusers
     nesting "down_blocks.0.resnets.1"). Returns the matched flax path
-    tuple — which must end on a parameter leaf — or None."""
+    tuple — which must end on a parameter leaf — or None.
+
+    `leaf` is a SYNTHESIZED candidate name ("kernel"/"scale"/...), not a
+    torch segment: it matches as a strict final trie level and never
+    '_'-joins into a module name (otherwise segs ["foo"] + "kernel"
+    could bind to an unrelated module literally named "foo_kernel",
+    bounded only by the shape check)."""
 
     def dfs(node, i, acc):
         if i == len(segs):
+            if leaf is not None:
+                child = node.get(leaf)
+                return (tuple(acc + [leaf])
+                        if child is not None and not child else None)
             return tuple(acc) if not node else None  # leaf == empty dict
         name = None
         for j in range(i, len(segs)):
@@ -78,15 +88,27 @@ def _walk_path(trie, segs):
     return dfs(trie, 0, [])
 
 
+# torch buffers that are bookkeeping, not weights: excluded from the
+# match-fraction denominator (they have no flax leaf by design)
+_NON_PARAM_SUFFIXES = ("position_ids", "num_batches_tracked")
+
+
 def port_torch_to_flax(
     torch_sd: Dict[str, np.ndarray],
     flax_params: Dict[str, Any],
     verbose: bool = False,
+    min_match: float = 0.5,
 ) -> Dict[str, Any]:
     """Fill a flax params template from a torch state dict.
 
-    Unmatched torch keys are reported (verbose) and skipped; unmatched
-    flax leaves keep their initialization. Returns a NEW params tree.
+    Unmatched torch keys are reported and skipped; unmatched flax leaves
+    keep their initialization. Returns a NEW params tree.
+
+    A one-line match summary always prints, and the call RAISES when the
+    matched fraction falls below `min_match` — a whole submodule silently
+    keeping random init is exactly the failure mode that bites last
+    (downstream parity drift instead of a loud load error). Pass
+    min_match=0 to port a deliberately partial state dict.
     """
     import jax
 
@@ -142,10 +164,9 @@ def port_torch_to_flax(
             else:  # plain parameters keep their own name
                 candidates = (leaf_name, None)
             for cand in candidates:
-                tail = segs + ([cand] if cand else [])
                 # a successful walk must end on a LEAF node ({} in trie);
-                # record the path by re-walking with memo of names
-                path = _walk_path(trie, tail)
+                # synthesized candidates bind as a strict final level
+                path = _walk_path(trie, segs, leaf=cand)
                 if path is not None and path in flax_index:
                     hit = path
                     break
@@ -172,10 +193,20 @@ def port_torch_to_flax(
         new_leaves[hit] = v.astype(np.asarray(target).dtype)
         matched += 1
 
+    missed = [m for m in missed
+              if not m.split(" ")[0].endswith(_NON_PARAM_SUFFIXES)]
+    total = matched + len(missed)
+    print(f"[port] matched {matched}/{total} torch tensors"
+          + (f" ({len(missed)} unmatched)" if missed else ""))
     if verbose:
-        print(f"[port] matched {matched}/{len(torch_sd)} torch tensors")
         for m in missed[:20]:
             print("  [miss]", m)
+    if total and matched / total < min_match:
+        raise ValueError(
+            f"weight port matched only {matched}/{total} torch tensors "
+            f"(< min_match={min_match}); first misses: {missed[:8]}. "
+            f"Pass min_match=0 to accept a partial port."
+        )
 
     # rebuild the tree
     def rebuild(tree, prefix=()):

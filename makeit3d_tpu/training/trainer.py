@@ -64,6 +64,13 @@ from .losses import (
 from .optimizer import make_lr_schedule, make_optimizer
 
 
+class OptimizationCollapseError(RuntimeError):
+    """Training is diagnosably dead (ws_mean pinned at the solid-block
+    entropy attractor, or non-finite loss) for collapse_abort_intervals
+    consecutive logging intervals. Raised so dead runs die in minutes
+    instead of burning hours (the elastic-recovery machinery watches
+    device faults, not optimization collapse)."""
+
 
 def build_loss_fn(cfg, field, settings, guidance, is_front: bool,
                   shaded: bool = True, with_sds: bool = True):
@@ -540,6 +547,8 @@ class Trainer:
         # bumped on every snapshot restore; step() discards results
         # computed against an older generation (zombie watchdog threads)
         self._state_gen = 0
+        # consecutive dead logging intervals (collapse watchdog)
+        self._collapse_streak = 0
 
         # text conditioning (reference: utils.py:370-401)
         self.text_z = None
@@ -831,6 +840,7 @@ class Trainer:
                     f"{k}={float(v):.4f}" for k, v in sorted(metrics.items())
                 )
                 self.ws.log(f"step {self.global_step}: {parts}")
+                self._check_collapse(loss, float(metrics["ws_mean"]))
                 return loss, consumed
             return None, consumed
 
@@ -863,6 +873,41 @@ class Trainer:
                 i = max(0, i - (gs_at_fault - self.global_step) * per)
         self.stats["loss"].append(total_loss / max(n, 1))
         self.ws.log(f"==> Finished Epoch {self.epoch}.")
+
+    def _check_collapse(self, loss: float, ws_mean: float):
+        """Optimization-collapse watchdog (called at the logging cadence).
+
+        Dead states: ws_mean pinned at ~1.0 (the solid-opaque-block
+        entropy attractor — nothing left to optimize, every pixel fully
+        opaque; docs/TPU_NOTES.md "failure modes #2") or a non-finite
+        loss. Both are diagnosable within a few logging intervals, so a
+        dead run should die in minutes, not hours (results/ab_hashgrid
+        burned 86 TPU-minutes this way in round 3)."""
+        cfg = self.cfg
+        if cfg.collapse_ws_threshold <= 0:
+            return
+        dead = (ws_mean >= cfg.collapse_ws_threshold
+                or not math.isfinite(loss))
+        if not dead:
+            self._collapse_streak = 0
+            return
+        self._collapse_streak += 1
+        s = self._collapse_streak
+        if (cfg.collapse_warn_intervals > 0
+                and s >= cfg.collapse_warn_intervals
+                and s % cfg.collapse_warn_intervals == 0):
+            self.ws.log(
+                f"[WARN] optimization looks collapsed at step "
+                f"{self.global_step}: ws_mean={ws_mean:.4f} "
+                f"loss={loss:.4f} for {s} consecutive logging intervals "
+                f"(threshold {cfg.collapse_ws_threshold}; tune "
+                f"collapse_ws_threshold/collapse_abort_intervals)")
+        if (cfg.collapse_abort_intervals > 0
+                and s >= cfg.collapse_abort_intervals):
+            raise OptimizationCollapseError(
+                f"training dead for {s} consecutive logging intervals "
+                f"(ws_mean={ws_mean:.4f}, loss={loss:.4f}) — aborting; "
+                f"set collapse_abort_intervals=0 to disable")
 
     # ------------------------------------------------------------------
     # elastic recovery (no reference equivalent; SURVEY.md §5.3 records
