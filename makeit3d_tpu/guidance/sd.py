@@ -29,6 +29,7 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from ..models.sd.clip import (
     CLIPTextModel,
@@ -295,15 +296,36 @@ class StableDiffusionGuidance:
                 l = l + 10.0 * (-jnp.sum(zi * zt))
             return jax.lax.stop_gradient(l)
 
-        def sds_branch(_):
+        def sds_grad_branch(_):
             w = sch.sds_weight(t)
-            grad = w * (eps_pred - noise)
-            grad = jnp.nan_to_num(grad)
             # d(loss)/d(latents) == grad  =>  same update as the
-            # reference's latents.backward(gradient=grad)
-            return jnp.sum(latents * jax.lax.stop_gradient(grad))
+            # reference's latents.backward(gradient=grad). f32 pinned so
+            # both lax.cond branches agree under bf16 towers.
+            return jnp.nan_to_num(
+                w * (eps_pred - noise)).astype(jnp.float32)
 
-        return jax.lax.cond(use_denoise, denoise_branch, sds_branch, None)
+        # The guidance result splits into (a) a gradient-carrying bilinear
+        # term sum(latents * g_const) and (b) a stop-grad scalar; both
+        # constants are checkpoint_name-tagged so a rematerialized
+        # backward (make_multiview_step's save_only_these_names policy)
+        # keeps them as residuals: the 2x UNet CFG forward, the DDIM
+        # decode, and the denoise-branch CLIP towers are all dead code in
+        # the recompute graph — only the render + VAE encode chain (the
+        # part that actually carries gradient) is recomputed. Loss value
+        # and gradients are bitwise those of the single lax.cond form.
+        g_const = jax.lax.cond(
+            use_denoise,
+            lambda _: jnp.zeros_like(latents, dtype=jnp.float32),
+            sds_grad_branch, None)
+        g_const = checkpoint_name(
+            jax.lax.stop_gradient(g_const), "sds_const")
+        d_loss = jax.lax.cond(
+            use_denoise,
+            lambda o: denoise_branch(o).astype(jnp.float32),
+            lambda _: jnp.zeros((), jnp.float32), None)
+        d_loss = checkpoint_name(
+            jax.lax.stop_gradient(d_loss), "sds_const")
+        return jnp.sum(latents * g_const) + d_loss
 
     # ------------------------------------------------------------------
     def produce_latents(self, key, text_z, height=None, width=None,

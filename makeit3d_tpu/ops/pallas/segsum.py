@@ -49,28 +49,30 @@ WINDOW = 1024
 
 
 def _segsum_kernel(idx_ref, val_ref, out_ref):
-    idx = idx_ref[:, 0]                      # [R] i32, sorted
-    vals = val_ref[...]                      # [R, F] f32
+    idx = idx_ref[0, :]                      # [R] i32, sorted
+    vals = val_ref[...]                      # [F, R] f32 (feature-major)
     # the block's aligned window base derives from its own first row —
     # no side input (the XLA combine recomputes the same formula)
     base = (idx[0] // WINDOW) * WINDOW
     local = idx - base                       # >= 0 by sortedness
     R = idx.shape[0]
-    # one-hot [R, 2W] via 2-D iota compare; out-of-window rows match no
-    # column and drop out (repaired exactly by the XLA fallback)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (R, 2 * WINDOW), 1)
-    onehot = (cols == local[:, None]).astype(jnp.float32)
-    # MXU: [F, R] @ [R, 2W] — the whole segment reduction as one matmul,
-    # emitted feature-major so the output block is [F, 2W] (lane dim 2W:
-    # a [.., 2W, F] layout would pad F=2 lanes to 128 — a measured 64x
-    # HBM expansion of the partials buffer).
+    # one-hot [2W, R] via 2-D iota compare, built lane-natural (idx was
+    # read along lanes, so local[None, :] needs no relayout);
+    # out-of-window rows match no row and drop out (repaired exactly by
+    # the XLA fallback)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (2 * WINDOW, R), 0)
+    onehot_t = (rows == local[None, :]).astype(jnp.float32)
+    # MXU (NT gemm): [F, R] x [2W, R] contracting the shared lane dim R
+    # -> [F, 2W]. Emitted feature-major so the output block is [F, 2W]
+    # (lane dim 2W: a [.., 2W, F] layout would pad F=2 lanes to 128 — a
+    # measured 64x HBM expansion of the partials buffer).
     # Precision HIGHEST: the default TPU matmul truncates f32 operands
     # to bf16 (measured max_abs_diff 0.027 vs XLA's exact scatter on the
     # dense hash workload); the onehot is exact in any precision, so the
     # f32x3 decomposition recovers the values' full mantissa.
     out_ref[...] = jax.lax.dot_general(
-        vals, onehot,
-        dimension_numbers=(((0,), (0,)), ((), ())),
+        vals, onehot_t,
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
@@ -96,7 +98,15 @@ def sorted_segment_sum(sorted_idx: jax.Array, sorted_vals: jax.Array,
     # feature dim padded to the 8-sublane tile so the kernel's [Fp, 2W]
     # output block lowers (zero columns cost nothing on the MXU)
     Fp = max(-(-F // 8) * 8, 8)
-    val_p = jnp.pad(sorted_vals, ((0, pad), (0, Fp - F)))
+    # Inputs go in layouts whose LANE dim is the row axis M: idx as
+    # [1, M] (sublane dim 1 == the overall dim, so the (1, R) block
+    # lowers; HBM pads 1->8 sublanes, 8x on 4-byte idx) and vals
+    # transposed to feature-major [Fp, M] (tiles exactly). The previous
+    # [M, 1] / [M, Fp] forms were forced by the custom call's layout
+    # constraint into T(8,128) with 128x / 16x lane padding — a measured
+    # 24G of HLO temps that OOM'd the 25M-row probe case (round-4
+    # forensics, /tmp probe_sorted_scatter_r4b OOM dump).
+    val_p = jnp.pad(sorted_vals, ((0, pad), (0, Fp - F))).T
 
     # per-block aligned window bases (XLA gather — trivial; the kernel
     # derives the same value from its own first row)
@@ -106,9 +116,9 @@ def sorted_segment_sum(sorted_idx: jax.Array, sorted_vals: jax.Array,
         _segsum_kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((R, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, R), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, Fp), lambda i: (i, 0),
+            pl.BlockSpec((Fp, R), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((Fp, 2 * WINDOW), lambda i: (i, 0),
@@ -116,7 +126,7 @@ def sorted_segment_sum(sorted_idx: jax.Array, sorted_vals: jax.Array,
         out_shape=jax.ShapeDtypeStruct((n_blocks * Fp, 2 * WINDOW),
                                        jnp.float32),
         interpret=interpret_mode(),
-    )(idx_p.reshape(-1, 1), val_p)
+    )(idx_p.reshape(1, -1), val_p)
 
     # combine: ONE scatter of 2*n_blocks fat [W, F] slabs. Window ids
     # can collide across consecutive blocks (same window revisited), so

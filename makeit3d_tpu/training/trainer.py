@@ -333,7 +333,20 @@ def make_multiview_step(cfg, field, optimizer, settings, guidance,
         return loss_fn(p, g, k, b)
 
     if remat:
-        per_view = jax.checkpoint(per_view)
+        # save_only_these_names instead of a blanket jax.checkpoint: the
+        # SDS guidance tags its stop-gradient constants "sds_const"
+        # (guidance/sd.py train_step_loss), so the backward's recompute
+        # graph drops the 2x UNet CFG forward + denoise towers (no
+        # gradient flows through them) and rematerializes only the
+        # render + VAE-encode chain. Memory profile matches full remat
+        # (the saved residuals are a [1,64,64,4] latent-grad and a
+        # scalar per view); the recompute FLOPs drop by the UNet pair —
+        # the bulk of the r03 mv-SDS regression (1.888 views/s at B=4 vs
+        # 3.01 single-view; VERDICT r3 item 5).
+        per_view = jax.checkpoint(
+            per_view,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "sds_const"))
 
     def train_step(params, opt_state, grid, key, batch):
         B = batch["rays_o"].shape[0]

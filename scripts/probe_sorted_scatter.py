@@ -56,7 +56,12 @@ def main():
     cases = [
         ("per-level", 2_097_152, 1 << 19),
         ("per-level-12M", 12_582_912, 1 << 19),
-        ("flat-16-levels", 25_165_824, 16 << 19),
+        # grad_table_sorted's actual per-scan-chunk scatter: 8 corners x
+        # 16 levels x 65536 rays = 8.4M rows into the flattened L*T
+        # (16<<19) slot space. A 25M-row stress case OOMs at 25.5G HBM
+        # (HLO temps from the parity-check double pipeline) — the
+        # production chunking never builds one that large.
+        ("prod-chunk", 8_388_608, 16 << 19),
     ]
     if quick:
         cases = cases[:1]
