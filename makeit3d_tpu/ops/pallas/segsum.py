@@ -14,16 +14,18 @@ one-hot — no serialized scatter unit anywhere:
 
   1. (XLA) sort rows by index — measured 50M rows/s, 2 payloads.
   2. (Pallas, this file) for each block of R sorted rows: build the
-     one-hot [R, 2W] of local slot offsets against the block's aligned
-     base window, and matmul one-hot^T @ vals -> a dense [2W, F]
-     partial window. Rows whose slot falls outside the 2W window
-     (possible only in pathologically sparse blocks; the hash workload
-     runs >20 rows/slot, so a 1024-row block spans ~50 slots) are
+     one-hot [SPAN, R] of local slot offsets against the block's
+     aligned base window, and matmul vals x one-hot^T -> a dense
+     [F, SPAN] partial. SPAN = 3 aligned windows: the production hash
+     workload's fine levels run ~1 row/slot, where a 1024-row block
+     spans ~1024 slots — 2 windows overflowed on half the blocks at
+     worst alignment and fired the repair on every call. Rows whose
+     slot still falls outside (density cliffs, 30-sigma outliers) are
      dropped here and repaired exactly in step 4.
-  3. (XLA) combine the [n_blocks, 2, W, F] partials into the table with
-     ONE scatter of 2*n_blocks FAT rows ([W, F] slabs) — thousands of
-     rows instead of hundreds of millions, so the scatter unit's
-     per-row serialization is off the critical path.
+  3. (XLA) combine the [n_blocks, N_WIN, W, F] partials into the table
+     with ONE scatter of N_WIN*n_blocks FAT rows ([W, F] slabs) —
+     thousands of rows instead of hundreds of millions, so the scatter
+     unit's per-row serialization is off the critical path.
   4. (XLA) exact repair: rows dropped in step 2 (count is computed with
      elementwise compares, no scatter) go through a plain .at[].add
      under lax.cond, so the fallback's cost is paid only when it
@@ -42,10 +44,19 @@ from jax.experimental.pallas import tpu as pltpu
 from . import interpret_mode
 
 # rows per kernel block and aligned window width (slots). A block's
-# partial covers [base, base + 2*WINDOW) with base = floor(idx[0]/W)*W,
-# so spans up to 2*WINDOW - (idx[0] - base) slots are exact.
+# partial covers [base, base + N_WIN*WINDOW) with base =
+# floor(idx[0]/W)*W, guaranteeing (N_WIN-1)*W + 1 slots past the first
+# row at the worst alignment. N_WIN=3 because the production fine-level
+# hash density is ~1 row/slot (a 1024-row block spans ~1024 +- 32
+# slots): 2 windows guaranteed only W+1 = 1025 slots and overflowed on
+# roughly half the blocks, firing the repair fallback every call —
+# measured 5.0M rows/s e2e on the 8.4M-rows/8.4M-slots prod-chunk
+# probe, LOSING 0.83x to plain XLA (round-4 forensics). 3 windows
+# guarantee 2049 slots (~30 sigma above the span mean at 1 row/slot).
 BLOCK_ROWS = 1024
 WINDOW = 1024
+N_WIN = 3
+SPAN = N_WIN * WINDOW
 
 
 def _segsum_kernel(idx_ref, val_ref, out_ref):
@@ -56,16 +67,16 @@ def _segsum_kernel(idx_ref, val_ref, out_ref):
     base = (idx[0] // WINDOW) * WINDOW
     local = idx - base                       # >= 0 by sortedness
     R = idx.shape[0]
-    # one-hot [2W, R] via 2-D iota compare, built lane-natural (idx was
-    # read along lanes, so local[None, :] needs no relayout);
+    # one-hot [SPAN, R] via 2-D iota compare, built lane-natural (idx
+    # was read along lanes, so local[None, :] needs no relayout);
     # out-of-window rows match no row and drop out (repaired exactly by
     # the XLA fallback)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (2 * WINDOW, R), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (SPAN, R), 0)
     onehot_t = (rows == local[None, :]).astype(jnp.float32)
-    # MXU (NT gemm): [F, R] x [2W, R] contracting the shared lane dim R
-    # -> [F, 2W]. Emitted feature-major so the output block is [F, 2W]
-    # (lane dim 2W: a [.., 2W, F] layout would pad F=2 lanes to 128 — a
-    # measured 64x HBM expansion of the partials buffer).
+    # MXU (NT gemm): [F, R] x [SPAN, R] contracting the shared lane dim
+    # R -> [F, SPAN]. Emitted feature-major so the output block keeps
+    # SPAN in the lane dim (a [.., SPAN, F] layout would pad F=2 lanes
+    # to 128 — a measured 64x HBM expansion of the partials buffer).
     # Precision HIGHEST: the default TPU matmul truncates f32 operands
     # to bf16 (measured max_abs_diff 0.027 vs XLA's exact scatter on the
     # dense hash workload); the onehot is exact in any precision, so the
@@ -121,38 +132,56 @@ def sorted_segment_sum(sorted_idx: jax.Array, sorted_vals: jax.Array,
             pl.BlockSpec((Fp, R), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((Fp, 2 * WINDOW), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((Fp, SPAN), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_blocks * Fp, 2 * WINDOW),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * Fp, SPAN),
                                        jnp.float32),
         interpret=interpret_mode(),
     )(idx_p.reshape(1, -1), val_p)
 
-    # combine: ONE scatter of 2*n_blocks fat [W, F] slabs. Window ids
-    # can collide across consecutive blocks (same window revisited), so
-    # this must be an add-scatter — but it serializes over thousands of
-    # slab rows, not millions of element rows.
-    n_win = T // WINDOW + 4  # table windows + margin for the pad slot
-    win_ids = jnp.stack([bases // WINDOW, bases // WINDOW + 1], axis=1)
-    # [n_blocks*Fp, 2W] -> [2*n_blocks, W, F] slabs (see kernel layout)
-    slabs = partials.reshape(n_blocks, Fp, 2, WINDOW)[:, :F].transpose(
-        0, 2, 3, 1).reshape(n_blocks * 2, WINDOW, F)
+    # combine: ONE scatter of N_WIN*n_blocks fat [W, F] slabs. Window
+    # ids can collide across consecutive blocks (same window revisited),
+    # so this must be an add-scatter — but it serializes over thousands
+    # of slab rows, not millions of element rows.
+    n_win = T // WINDOW + N_WIN + 3  # table windows + pad-slot margin
+    wb = bases // WINDOW
+    win_ids = jnp.stack([wb + j for j in range(N_WIN)], axis=1)
+    # [n_blocks*Fp, SPAN] -> [N_WIN*n_blocks, W, F] slabs (kernel layout)
+    slabs = partials.reshape(n_blocks, Fp, N_WIN, WINDOW)[:, :F].transpose(
+        0, 2, 3, 1).reshape(n_blocks * N_WIN, WINDOW, F)
     ext = jnp.zeros((n_win, WINDOW, F), table.dtype).at[
         win_ids.reshape(-1)].add(slabs, mode="drop")
     out = table + ext.reshape(-1, F)[:T]
 
-    # exact repair of dropped rows (block span exceeded 2W — requires a
-    # <1-row-per-slot sparse block; never seen on the hash workload but
-    # gradients must not depend on luck). Cost is paid only if it fires.
+    # exact repair of dropped rows (block span exceeded SPAN — needs a
+    # <1-row-per-slot block plus a 30-sigma span outlier, or a block
+    # straddling a density cliff such as a hash level boundary;
+    # gradients must not depend on luck). Two tiers so the cost tracks
+    # the number of dropped rows, not M: up to REPAIR_K rows go through
+    # a compacted scatter (~ms); only a pathological overflow pays the
+    # full-length masked scatter (the old single tier fired on every
+    # prod-chunk call and cost 1.4 s — round-4 forensics).
     block_base = jnp.repeat(bases, R)[:M]
-    dropped = sorted_idx - block_base >= 2 * WINDOW
+    dropped = sorted_idx - block_base >= SPAN
     n_drop = jnp.sum(dropped)
+    REPAIR_K = min(16384, M)
 
-    def repair(t):
+    def repair_small(t):
+        pos = jnp.where(dropped, size=REPAIR_K, fill_value=M)[0]
+        safe = jnp.minimum(pos, M - 1)
+        g_idx = jnp.where(pos < M, sorted_idx[safe], T)
+        g_val = jnp.where((pos < M)[:, None], sorted_vals[safe], 0.0)
+        return t.at[g_idx].add(g_val, mode="drop")
+
+    def repair_full(t):
         return t.at[jnp.where(dropped, sorted_idx, T)].add(
             jnp.where(dropped[:, None], sorted_vals, 0.0), mode="drop")
 
-    return jax.lax.cond(n_drop > 0, repair, lambda t: t, out)
+    return jax.lax.cond(
+        n_drop > 0,
+        lambda t: jax.lax.cond(n_drop <= REPAIR_K, repair_small,
+                               repair_full, t),
+        lambda t: t, out)
 
 
 @functools.partial(jax.jit, donate_argnums=(2,))
