@@ -287,6 +287,11 @@ def main(argv=None):
         trainer.save_mesh(resolution=256)
 
     if args.refine:
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # refine is a single-host stage (docs/MULTIHOST.md §4): it
+            # consumes the mvimg renders host 0 just wrote and runs the
+            # host-side point-cloud fusion; non-primary hosts are done.
+            return
         from .training.refine import RefineStage
 
         mv = ViewSampler(cfg, type="gen_mv", H=cfg.H, W=cfg.W, size=33)

@@ -56,6 +56,10 @@ class RefineStage:
         self.cfg = cfg
         self.guidance = guidance
         self.ws_dir = workspace or cfg.workspace
+        # multi-host rank-gating: host 0 owns all file writes
+        # (docs/MULTIHOST.md; same policy as utils.workspace.Workspace)
+        from ..utils.workspace import default_primary
+        self.primary = default_primary()
         self.key = jax.random.PRNGKey(seed)
         self.unet = RefineUNet(num_input_channels=3 + 16)
         self.cx = ContextualLoss(weights_path=vgg_weights)
@@ -251,9 +255,10 @@ class RefineStage:
         cfg = self.cfg
         H, W = cfg.H, cfg.W
         outdir = os.path.join(self.ws_dir, "refine")
-        os.makedirs(outdir, exist_ok=True)
         train_outdir = os.path.join(outdir, "train")
-        os.makedirs(train_outdir, exist_ok=True)
+        if self.primary:
+            os.makedirs(outdir, exist_ok=True)
+            os.makedirs(train_outdir, exist_ok=True)
 
         K = intrinsics(cfg.fov, H, W)
         gt_rgb = cv2.resize(np.asarray(gt_rgba[..., :3], np.float64), (W, H))
@@ -310,13 +315,13 @@ class RefineStage:
                 params, opt_state, w2c, k, gt_rgb_j, gt_mask_j,
                 text_z, text_pooled, anchors, gparams,
             )
-            if i % 50 == 0:
+            if i % 50 == 0 and self.primary:
                 save_image_u8(os.path.join(train_outdir, f"{i}.png"),
                               np.asarray(pred))
                 parts = " ".join(f"{k2}={float(v):.4f}"
                                  for k2, v in sorted(metrics.items()))
                 print(f"[refine {i}] {parts}", flush=True)
-            if i % 1000 == 0 or i == train_iters - 1:
+            if (i % 1000 == 0 or i == train_iters - 1) and self.primary:
                 self._save_ckpt(outdir, i if i < train_iters - 1 else "end",
                                 params)
             return params, opt_state
@@ -356,7 +361,7 @@ class RefineStage:
 
         # final orbit rendering through the neural renderer
         # (reference: utils.py:912-944)
-        if test_sampler is not None:
+        if test_sampler is not None and self.primary:
             img_outdir = os.path.join(outdir, "results")
             os.makedirs(img_outdir, exist_ok=True)
             frames = []

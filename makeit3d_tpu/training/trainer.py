@@ -837,7 +837,8 @@ class Trainer:
             # logging cadence and let the steps in between pipeline.
             # Cadence 9 (coprime to the every-4th-front view schedule)
             # so front-step metrics (loss_img/loss_depth) surface too.
-            if self.global_step % 100 == 0 or self.global_step == 1:
+            if self.ws.primary and (self.global_step % 100 == 0
+                                    or self.global_step == 1):
                 save_image_u8(
                     os.path.join(self.ws.train_dir, f"{self.global_step}.png"),
                     np.asarray(aux["pred_rgb"]),
@@ -853,7 +854,8 @@ class Trainer:
                     f"{k}={float(v):.4f}" for k, v in sorted(metrics.items())
                 )
                 self.ws.log(f"step {self.global_step}: {parts}")
-                self._check_collapse(loss, float(metrics["ws_mean"]))
+                self._check_collapse(loss, float(metrics["ws_mean"]),
+                                     is_front=views[0].is_front)
                 return loss, consumed
             return None, consumed
 
@@ -887,7 +889,8 @@ class Trainer:
         self.stats["loss"].append(total_loss / max(n, 1))
         self.ws.log(f"==> Finished Epoch {self.epoch}.")
 
-    def _check_collapse(self, loss: float, ws_mean: float):
+    def _check_collapse(self, loss: float, ws_mean: float,
+                        is_front: bool = False):
         """Optimization-collapse watchdog (called at the logging cadence).
 
         Dead states: ws_mean pinned at ~1.0 (the solid-opaque-block
@@ -895,9 +898,20 @@ class Trainer:
         opaque; docs/TPU_NOTES.md "failure modes #2") or a non-finite
         loss. Both are diagnosable within a few logging intervals, so a
         dead run should die in minutes, not hours (results/ab_hashgrid
-        burned 86 TPU-minutes this way in round 3)."""
+        burned 86 TPU-minutes this way in round 3).
+
+        Front steps are excluded from the ws_mean signal: the front
+        program composites against the reference mask, so a fully
+        collapsed scene still logs front ws_mean≈0.5 (round-4
+        ab_hashgrid log: novel intervals pinned at 1.0000 interleaved
+        with front intervals at 0.51 every 4th log). A front reading
+        therefore can neither confirm nor clear the attractor — it
+        must not reset the streak. A non-finite loss counts dead on
+        any step."""
         cfg = self.cfg
         if cfg.collapse_ws_threshold <= 0:
+            return
+        if is_front and math.isfinite(loss):
             return
         dead = (ws_mean >= cfg.collapse_ws_threshold
                 or not math.isfinite(loss))
@@ -1183,14 +1197,20 @@ class Trainer:
         appends to stats["results"] to unlock best-checkpoint saving,
         utils.py:1106-1122, while ranking nothing: "loss cannot reflect
         performance")."""
-        os.makedirs(self.ws.valid_dir, exist_ok=True)
+        if self.ws.primary:
+            os.makedirs(self.ws.valid_dir, exist_ok=True)
         name = name or f"{self.name}_ep{self.epoch:04d}"
         coverage = []
         with self._EmaScope(self):
             for i in range(sampler.size):
                 view = sampler.get(i)
                 res = self.render_image(view)
+                # every host computes the coverage ranking scalar (it
+                # gates best-checkpoint saving and must stay in lockstep
+                # across hosts); only the primary writes the renders
                 coverage.append(float(np.mean(res["weights_sum"])))
+                if not self.ws.primary:
+                    continue
                 save_image_u8(
                     os.path.join(self.ws.valid_dir, f"{name}_{i + 1:04d}_rgb.png"),
                     res["image"],
@@ -1208,7 +1228,13 @@ class Trainer:
     def test(self, sampler: ViewSampler, save_path: Optional[str] = None,
              name: Optional[str] = None, write_image: bool = True,
              write_video_out: bool = True):
-        """Orbit test renders + mp4 + poses (reference: utils.py:671-744)."""
+        """Orbit test renders + mp4 + poses (reference: utils.py:671-744).
+
+        Non-primary hosts skip entirely: test() is pure side effect
+        (files), so in a multi-host run only host 0 renders the orbit —
+        there is no cross-host state to keep in lockstep here."""
+        if not self.ws.primary:
+            return
         save_path = save_path or self.ws.result_dir
         os.makedirs(save_path, exist_ok=True)
         name = name or f"{self.name}_ep{self.epoch:04d}"
@@ -1262,7 +1288,10 @@ class Trainer:
     def save_mesh(self, save_path: Optional[str] = None,
                   resolution: int = 256):
         """Textured OBJ export (reference: utils.py:626-637 +
-        renderer.py:156-330)."""
+        renderer.py:156-330). Pure side effect — host 0 only
+        (docs/MULTIHOST.md)."""
+        if not self.ws.primary:
+            return
         from ..utils.mesh_export import export_textured_mesh
 
         save_path = save_path or os.path.join(self.ws.root, "mesh")
@@ -1318,7 +1347,14 @@ class Trainer:
         swapped in (reference: utils.py:1106-1122 — "always save best
         since loss cannot reflect performance", but only after at least
         one eval has recorded a result). The best file sits outside the
-        rotation window."""
+        rotation window.
+
+        Multi-host: only host 0 writes (params are replicated across
+        hosts — jax.device_get of a fully-addressable replicated array
+        is identical everywhere, so one writer loses nothing;
+        docs/MULTIHOST.md)."""
+        if not self.ws.primary:
+            return
         if best:
             if not self.stats["results"]:
                 self.ws.log(

@@ -17,26 +17,52 @@ from typing import Any, Dict, List, Optional
 import numpy as np
 
 
+def default_primary() -> bool:
+    """True iff this host is the designated artifact writer.
+
+    Multi-host SPMD runs execute the same program on every host; host 0
+    owns the filesystem side effects (logs, scalars, checkpoints,
+    renders) and the others compute silently — the rank-gating policy
+    is documented in docs/MULTIHOST.md. Single-process runs (the
+    reference's only mode, nerf/utils.py:332-344) are always primary."""
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
 class Workspace:
     """results/<name>/{train,validation,result,mvimg,refine,checkpoints}."""
 
-    def __init__(self, root: str, name: str = "df", mute: bool = False):
+    def __init__(self, root: str, name: str = "df", mute: bool = False,
+                 primary: Optional[bool] = None):
         self.root = root
         self.name = name
         self.mute = mute
-        os.makedirs(root, exist_ok=True)
+        self.primary = default_primary() if primary is None else primary
         self.ckpt_dir = os.path.join(root, "checkpoints")
         self.train_dir = os.path.join(root, "train")
         self.valid_dir = os.path.join(root, "validation")
         self.result_dir = os.path.join(root, "result")
+        self.log_path = os.path.join(root, f"log_{name}.txt")
+        self.metrics_path = os.path.join(root, "metrics.jsonl")
+        if not self.primary:
+            # non-primary hosts make no filesystem writes at all — not
+            # even directories (the workspace may live on a shared FS)
+            self._log_fp = None
+            self._metrics_fp = None
+            return
+        os.makedirs(root, exist_ok=True)
         for d in (self.ckpt_dir, self.train_dir):
             os.makedirs(d, exist_ok=True)
-        self.log_path = os.path.join(root, f"log_{name}.txt")
         self._log_fp = open(self.log_path, "a+")
-        self.metrics_path = os.path.join(root, "metrics.jsonl")
         self._metrics_fp = open(self.metrics_path, "a+")
 
     def log(self, *args):
+        if not self.primary:
+            return
         msg = " ".join(str(a) for a in args)
         if not self.mute:
             print(msg)
@@ -46,6 +72,8 @@ class Workspace:
     def scalar(self, tag: str, value: float, step: int):
         """tensorboardX equivalent: append-only jsonl scalars
         (reference: utils.py:996-998)."""
+        if not self.primary:
+            return
         self._metrics_fp.write(
             json.dumps({"tag": tag, "value": float(value), "step": int(step),
                         "ts": time.time()}) + "\n"
@@ -53,6 +81,8 @@ class Workspace:
         self._metrics_fp.flush()
 
     def dump_settings(self, cfg):
+        if not self.primary:
+            return
         with open(os.path.join(self.root, "setting.txt"), "w") as f:
             f.write("------------------ start ------------------\n")
             for k, v in sorted(vars(cfg).items()):
@@ -60,8 +90,10 @@ class Workspace:
             f.write("------------------- end -------------------")
 
     def close(self):
-        self._log_fp.close()
-        self._metrics_fp.close()
+        if self._log_fp is not None:
+            self._log_fp.close()
+        if self._metrics_fp is not None:
+            self._metrics_fp.close()
 
 
 def save_image_u8(path: str, img: np.ndarray):

@@ -74,10 +74,10 @@ class _Stub:
         self.global_step = 0
 
 
-def _drive(stub, ws_mean, n, loss=0.1):
+def _drive(stub, ws_mean, n, loss=0.1, is_front=False):
     for _ in range(n):
         stub.global_step += 9
-        Trainer._check_collapse(stub, loss, ws_mean)
+        Trainer._check_collapse(stub, loss, ws_mean, is_front=is_front)
 
 
 def test_healthy_run_never_trips():
@@ -107,6 +107,24 @@ def test_recovery_resets_streak():
     _drive(stub, ws_mean=0.5, n=1)   # one healthy interval resets
     assert stub._collapse_streak == 0
     _drive(stub, ws_mean=1.0, n=5)   # needs the full streak again
+
+
+def test_front_steps_do_not_reset_streak():
+    # the round-4 ab_hashgrid pattern: novel intervals pinned at 1.0
+    # interleaved with masked-front intervals at ws≈0.51 every 4th log
+    # — the front dips must not clear the streak, or the watchdog can
+    # never fire on exactly the failure it was built for
+    stub = _Stub(collapse_abort_intervals=8, collapse_warn_intervals=0)
+    with pytest.raises(OptimizationCollapseError):
+        for _round in range(4):
+            _drive(stub, ws_mean=1.0, n=3)
+            _drive(stub, ws_mean=0.51, n=1, is_front=True)
+
+
+def test_front_nan_still_counts_dead():
+    stub = _Stub(collapse_abort_intervals=4)
+    with pytest.raises(OptimizationCollapseError):
+        _drive(stub, ws_mean=0.5, n=10, loss=math.nan, is_front=True)
 
 
 def test_disable_knobs():
