@@ -312,15 +312,20 @@ def make_multiview_step(cfg, field, optimizer, settings, guidance,
     vmap-safe against the v5e fault. Use the fourier/vanilla backbones
     for multi-view training.
 
-    `remat` (None = on when with_sds): jax.checkpoint each view's
-    forward, so the backward rematerializes the render + SDS towers
-    instead of keeping all B views' VAE/UNet activations resident —
-    without it, B=2 views of 512^2 SDS towers exceed the 15.75G v5e
-    HBM. Costs ~1/3 extra FLOPs; gradients are bitwise the policy-free
-    remat of the same program.
+    `remat` (None = auto): jax.checkpoint each view's forward, so the
+    backward rematerializes the render + VAE-encode chain instead of
+    keeping all B views' activations resident. Auto policy, from the
+    round-4 TPU measurement (scripts/probe_mv_sds.py, 128^2 render,
+    v5e 15.75G HBM): with bf16 towers B=4 fits WITHOUT remat and runs
+    2.803 views/s vs 2.114 with the named-policy remat (+33%) against
+    a 3.022 it/s single-view baseline — so bf16 towers default to no
+    remat; f32 towers keep it (2x the activation bytes, the original
+    OOM regime). Gradients are bitwise identical either way.
     """
     if remat is None:
-        remat = with_sds
+        tower_bf16 = (guidance is not None
+                      and getattr(guidance, "dtype", None) == jnp.bfloat16)
+        remat = with_sds and not tower_bf16
     loss_fn = build_loss_fn(cfg, field, settings, guidance, is_front=False,
                             shaded=shaded, with_sds=with_sds)
     axes = {k: (0 if k in MV_VIEW_KEYS else None) for k in

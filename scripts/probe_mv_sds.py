@@ -17,9 +17,10 @@ This probe times, on the real chip with bf16 towers (the production
 --fp16 setting):
   - single-view SDS step (make_step_variant, with_sds=True) -> it/s
   - mv step B in {2, 4} with the named-policy remat -> views/s
-  - mv step B=4 with blanket remat (remat policy bypassed via
-    MAKEIT3D_MV_BLANKET_REMAT=1 ... actually via the remat kwarg) for
-    the same-session A/B.
+  - mv step B in {2, 4} with remat=False (no checkpoint at all): if a
+    small-B no-remat step fits HBM it should recover the single-view
+    per-view rate, making the right default "remat only when B is
+    large enough to need it".
 
 All timings chain steps data-dependently and end with one host fetch
 (block_until_ready is not a barrier through the axon relay).
@@ -130,6 +131,7 @@ def main():
         mv_step = make_multiview_step(
             cfg, field, optimizer, settings, guidance,
             shaded=False, with_sds=True,
+            remat=(None if remat_policy == "named" else False),
             salt=hash(remat_policy) % 1000)
         vs = [sampler.get(1 + j) for j in range(B + 2)]
         vs = [v for v in vs if not v.is_front][:B]
@@ -159,12 +161,20 @@ def main():
         _ = float(np.asarray(m["loss"]))
         return round(n_it2 * len(vs) / (time.time() - t0), 3)
 
-    for B in ((4,) if quick else (4, 2)):
+    legs = [(4, "named"), (2, "named"), (2, "noremat"), (4, "noremat")]
+    if quick:
+        legs = [(4, "named"), (2, "noremat")]
+    if os.environ.get("PROBE_MV_LEGS"):  # e.g. "2:noremat,4:noremat"
+        legs = [(int(b), p) for b, p in
+                (s.split(":") for s in
+                 os.environ["PROBE_MV_LEGS"].split(","))]
+    for B, pol in legs:
         try:
-            emit({"case": f"mv_B{B}_named_policy",
-                  "views_per_sec": run_mv(B, "named")})
+            emit({"case": f"mv_B{B}_{pol}" if pol != "named"
+                  else f"mv_B{B}_named_policy",
+                  "views_per_sec": run_mv(B, pol)})
         except Exception as e:
-            emit({"case": f"mv_B{B}_named_policy",
+            emit({"case": f"mv_B{B}_{pol}",
                   "error": f"{type(e).__name__}: {e}"})
             time.sleep(20.0)
 
