@@ -116,9 +116,13 @@ class Config:
     # fraction of marched samples given the perturbed-normal eval for
     # the smooth loss (1.0 = reference behavior, every sample,
     # renderer.py:521-524; <1 = unbiased per-step subsample — the
-    # perturbed chain is a full second normal backward, ~40% of the
-    # shaded step; see RenderSettings.smooth_subset)
-    smooth_subset: float = 1.0
+    # perturbed chain is a full second normal backward). Default 0.25,
+    # measured round 4 on v5e: shaded step 419.8 -> 311.7 ms (projected
+    # mixed headline +20%) with no quality regression in the paired
+    # 400-iter A/B (fourier_ss25 20.04 dB / 0.836 SSIM vs baseline
+    # 14.37 / 0.710; BASELINE.md quality table). Set 1.0 for the
+    # reference's exact every-sample behavior.
+    smooth_subset: float = 0.25
     lambda_img: float = 1e3
     lambda_depth: float = 1.0
     lambda_clip: float = 1.0
