@@ -289,6 +289,19 @@ MV_VIEW_KEYS = ("rays_o", "rays_d", "depth_scale", "is_large",
                 "text_z", "text_z_clip")
 
 
+def resolve_mv_remat(remat: Optional[bool], with_sds: bool,
+                     guidance) -> bool:
+    """Auto remat policy for the multi-view step (None = auto; see
+    make_multiview_step docstring for the round-4 measurement basis):
+    bf16 towers fit B=4 at 128^2 without remat and run +33% faster, so
+    only f32 towers checkpoint."""
+    if remat is not None:
+        return remat
+    tower_bf16 = (guidance is not None
+                  and getattr(guidance, "dtype", None) == jnp.bfloat16)
+    return with_sds and not tower_bf16
+
+
 def make_multiview_step(cfg, field, optimizer, settings, guidance,
                         shaded: bool, with_sds: bool = True,
                         salt: int = 0, mesh=None,
@@ -322,10 +335,7 @@ def make_multiview_step(cfg, field, optimizer, settings, guidance,
     remat; f32 towers keep it (2x the activation bytes, the original
     OOM regime). Gradients are bitwise identical either way.
     """
-    if remat is None:
-        tower_bf16 = (guidance is not None
-                      and getattr(guidance, "dtype", None) == jnp.bfloat16)
-        remat = with_sds and not tower_bf16
+    remat = resolve_mv_remat(remat, with_sds, guidance)
     loss_fn = build_loss_fn(cfg, field, settings, guidance, is_front=False,
                             shaded=shaded, with_sds=with_sds)
     axes = {k: (0 if k in MV_VIEW_KEYS else None) for k in

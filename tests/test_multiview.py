@@ -139,3 +139,21 @@ def test_hash_backbone_with_views_raises(tmp_path):
                  hash_levels=4, log2_hashmap_size=10, **kw)
     with pytest.raises(ValueError, match="vmap-safe"):
         Trainer(cfg, workspace=cfg.workspace, use_checkpoint="scratch")
+
+
+def test_mv_remat_auto_policy():
+    """Round-4 auto policy (probe_mv_sds measurement): bf16 towers run
+    B=4 without remat (+33% views/s); f32 towers keep the named-policy
+    remat; explicit values always win; no-SDS steps never remat."""
+    from makeit3d_tpu.training.trainer import resolve_mv_remat
+
+    class _G:
+        def __init__(self, dtype):
+            self.dtype = dtype
+
+    assert resolve_mv_remat(None, True, _G(jnp.bfloat16)) is False
+    assert resolve_mv_remat(None, True, _G(jnp.float32)) is True
+    assert resolve_mv_remat(None, True, None) is True
+    assert resolve_mv_remat(None, False, _G(jnp.float32)) is False
+    assert resolve_mv_remat(True, True, _G(jnp.bfloat16)) is True
+    assert resolve_mv_remat(False, True, _G(jnp.float32)) is False
