@@ -123,6 +123,18 @@ class Config:
     # 14.37 / 0.710; BASELINE.md quality table). Set 1.0 for the
     # reference's exact every-sample behavior.
     smooth_subset: float = 0.25
+    # Deferred shading (TPU-native variant, OFF by default): shade at the
+    # per-ray expected surface point instead of per-sample. The reference
+    # shades every marched sample (network_tcnn.py:156-168) and takes
+    # orient/smooth losses per sample (nerf/renderer.py:513-524); with
+    # analytic-normal backbones that is a second-order double-backward
+    # over all N*S samples — the dominant cost of the shaded program on
+    # TPU (docs/TPU_NOTES.md round-4 close-out). Deferred mode composites
+    # albedo first, then evaluates the normal chain only at the N
+    # composited surface expectations (~100x fewer rows) and shades /
+    # regularizes at the ray level. A documented semantics change, priced
+    # and quality-A/B'd in BASELINE.md before any default flip.
+    deferred_shading: bool = False
     lambda_img: float = 1e3
     lambda_depth: float = 1.0
     lambda_clip: float = 1.0

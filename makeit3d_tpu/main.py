@@ -96,6 +96,12 @@ def parse_args(argv=None):
                         "eval for the smooth loss (1.0 = reference "
                         "behavior; <1 subsamples the ~40%%-of-step "
                         "second normal chain)")
+    p.add_argument("--deferred_shading", action="store_true",
+                   default=d.deferred_shading,
+                   help="shade at the per-ray surface expectation instead "
+                        "of per sample (TPU-native variant: drops the "
+                        "per-sample normal chain, ~100x fewer normal rows "
+                        "on the shaded program; see Config.deferred_shading)")
     p.add_argument("--lambda_img", type=float, default=d.lambda_img)
     p.add_argument("--lambda_depth", type=float, default=d.lambda_depth)
     p.add_argument("--lambda_clip", type=float, default=d.lambda_clip)

@@ -54,6 +54,10 @@ class RenderSettings:
     # gradient variance. Applies to the fused/batched paths; the
     # encode-split (hash) path always evaluates every sample.
     smooth_subset: float = 1.0
+    # Shade at the per-ray surface expectation instead of per sample
+    # (see Config.deferred_shading). Training-path only; the eval/test
+    # renders and the encode-split (field_eval override) path ignore it.
+    deferred_shading: bool = False
     field_chunk: int = 1 << 17    # samples per rematerialized field chunk
     # Training-path compositor backend. None = auto (Pallas on TPU). The
     # Pallas kernel pair (ops/pallas/composite.py) mirrors the CUDA
@@ -73,6 +77,7 @@ class RenderSettings:
             max_depth=cfg.max_depth,
             compute_smooth=cfg.lambda_smooth > 0,
             smooth_subset=getattr(cfg, "smooth_subset", 1.0),
+            deferred_shading=bool(getattr(cfg, "deferred_shading", False)),
         )
 
 
@@ -144,11 +149,18 @@ def render_occupancy(
 
     flat_x = m.xyzs.reshape(-1, 3)
     flat_d = m.dirs.reshape(-1, 3)
+    # Deferred shading: the field runs the cheap albedo program over the
+    # sample lattice; normals are evaluated only at the per-ray surface
+    # expectation after compositing (below). Requires per-sample weights
+    # and the plain field evaluators, so the encode-split overrides and
+    # the Pallas compositor (weights=None) opt out.
+    deferred = (training and shaded and s.deferred_shading
+                and field_eval is None and smooth_eval is None)
     normals_perturb = None
     # smooth-loss row subset (see RenderSettings.smooth_subset): fresh
     # random rows per step; duplicates are fine for an unbiased mean
     smooth_sub_idx = None
-    if (training and shaded and s.compute_smooth
+    if (training and shaded and s.compute_smooth and not deferred
             and s.smooth_subset < 1.0 and smooth_eval is None):
         M_all = flat_x.shape[0]
         m_sub = max((int(M_all * s.smooth_subset) // 256) * 256, 256)
@@ -156,6 +168,15 @@ def render_occupancy(
         smooth_sub_idx = jax.random.randint(k_sub, (m_sub,), 0, M_all)
     if field_eval is not None:
         sigmas, rgbs, normals = field_eval(flat_x, flat_d, light_d)
+    elif deferred:
+        # albedo program over the lattice: no finite-difference /
+        # analytic-normal probes per sample (the shaded program's
+        # dominant FLOPs; docs/TPU_NOTES.md round-4 close-out)
+        sigmas, rgbs, normals = apply_field_chunked(
+            field, variables, flat_x, flat_d,
+            light_d=light_d, ratio=ambient_ratio, shading_mode=shading_mode,
+            chunk=s.field_chunk, shaded=False,
+        )
     elif training and shaded and s.compute_smooth:
         # Batch the main eval and the smooth-loss perturbed eval into
         # ONE field program: [x; x+noise] through a single chunked
@@ -191,7 +212,7 @@ def render_occupancy(
     use_pallas_comp = s.pallas_composite
     if use_pallas_comp is None:
         use_pallas_comp = jax.default_backend() == "tpu"
-    if training and use_pallas_comp and N % 256 == 0:
+    if training and use_pallas_comp and N % 256 == 0 and not deferred:
         from ..ops.pallas.composite import composite_rays_pallas
 
         ws_p, depth_p, image_p = composite_rays_pallas(
@@ -212,7 +233,65 @@ def render_occupancy(
     # budget is static so this only feeds observability, not buffer sizing.
     results["n_valid"] = nvalid
 
-    if training and shaded:
+    if deferred:
+        # --- deferred shading: one normal chain at the per-ray surface
+        # expectation x_surf = sum(w_i x_i)/ws instead of per sample.
+        # Divergences from the reference, all at the ray level instead of
+        # the sample level: shading (network_tcnn.py:156-168), orient
+        # loss (renderer.py:513-518, weighted by ws instead of
+        # 1-exp(-sigma) per sample), smooth loss (renderer.py:521-524).
+        # The surface expectation is stop-gradient (geometry treated as
+        # fixed for the shade, like the orient weights). ---
+        from .field import (
+            SHADING_ALBEDO, SHADING_LAMBERTIAN, SHADING_TEXTURELESS,
+        )
+
+        ws_sg = jax.lax.stop_gradient(comp.weights_sum)
+        w_sg = jax.lax.stop_gradient(comp.weights)
+        x_surf = jnp.sum(w_sg[..., None] * m.xyzs, axis=-2) / jnp.maximum(
+            ws_sg, 1e-6)[..., None]
+        x_surf = jnp.clip(x_surf, -s.bound, s.bound)
+        if s.compute_smooth:
+            k_smooth, k_noise = jax.random.split(k_smooth)
+            noise = jax.random.normal(k_noise, x_surf.shape) * s.smooth_sigma
+            probe_x = jnp.concatenate([x_surf, x_surf + noise], axis=0)
+        else:
+            probe_x = x_surf
+        _, _, nrm = sigma_albedo_normal_chunked(
+            field, variables, probe_x, chunk=s.field_chunk)
+        n_surf = nrm[:N]
+
+        ray_valid = ws_sg > 1e-3
+        n_ray_valid = jnp.maximum(jnp.sum(ray_valid), 1)
+
+        # ray-level shade of the premultiplied foreground accumulation.
+        # Lambertian scales the composited albedo; the albedo-free modes
+        # (textureless / normal-viz) must re-premultiply by ws.
+        lam = ambient_ratio + (1.0 - ambient_ratio) * jnp.maximum(
+            jnp.sum(n_surf * light_d, axis=-1, keepdims=True),
+            field.lambert_min)
+        mode = jnp.asarray(shading_mode, jnp.int32)
+        fg = jnp.where(
+            mode == SHADING_ALBEDO, comp.image,
+            jnp.where(
+                mode == SHADING_LAMBERTIAN, comp.image * lam,
+                jnp.where(
+                    mode == SHADING_TEXTURELESS,
+                    comp.weights_sum[..., None]
+                    * jnp.broadcast_to(lam, comp.image.shape),
+                    comp.weights_sum[..., None] * (n_surf + 1.0) / 2.0)))
+        comp = comp._replace(image=fg)
+
+        dot = jnp.sum(n_surf * rays_d, axis=-1)
+        loss_orient = ws_sg * jnp.maximum(dot, 0.0) ** 2
+        results["loss_orient"] = jnp.sum(
+            jnp.where(ray_valid, loss_orient, 0.0)) / n_ray_valid
+        if s.compute_smooth:
+            diff = jnp.abs(n_surf - nrm[N:])
+            diff = jnp.where(ray_valid[..., None], diff, 0.0)
+            results["loss_smooth"] = jnp.sum(diff) / (n_ray_valid * 3)
+
+    if training and shaded and not deferred:
         # orientation loss: back-facing normals with positive weight are
         # penalized (reference: renderer.py:513-518, CUDA-path variant
         # uses w = 1 - exp(-sigma), not alpha*T)

@@ -141,6 +141,20 @@ def main():
               "ms": round(t_shaded * 1000, 1),
               "projected_mix_iters_per_sec": round(1.0 / mixed, 2)})
 
+    # deferred-shading leg (round-4: the structural lever the coarse
+    # close-out identified — normal chain at N surface points instead of
+    # N*S samples; Config.deferred_shading)
+    s_def = dataclasses.replace(settings, deferred_shading=True)
+    t_def = time_step(
+        make_step_variant(cfg, field, optimizer, s_def, None,
+                          is_front=False, shaded=True, with_sds=False),
+        shaded_batch)
+    mixed = (MIX["front"] * t_front + MIX["albedo"] * t_albedo
+             + MIX["shaded"] * t_def)
+    emit({"program": "novel_shaded_deferred",
+          "ms": round(t_def * 1000, 1),
+          "projected_mix_iters_per_sec": round(1.0 / mixed, 2)})
+
     print(json.dumps({"summary": results}))
 
 
