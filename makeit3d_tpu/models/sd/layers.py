@@ -42,6 +42,14 @@ import jax.numpy as jnp
 #     (92.8 -> 48.8 ms; its einsum materializes a 4096^2 score matrix
 #     per ~0 reusable heads). Cross-attention against the 77-token text
 #     context always stays on einsum (tiny score matrix).
+#
+# Grad-path caveat (advisor r3 #5): the VAE mid-block flash win holds
+# forward-only; through fwd+bwd the two impls are a measured wash
+# (68.4 ms flash vs 66.2 ms einsum, probe_attention.py 2026-08-19).
+# _flash_eligible cannot see grad context (trace-time dispatch), so the
+# SDS grad path takes flash at that call site — accepted as a wash, not
+# a win; flash_attn_flops() in bench.py credits the kernel's FLOPs to
+# sds_mfu either way, so the MFU figure is consistent with the dispatch.
 # ---------------------------------------------------------------------------
 _ATTN_IMPL = [os.environ.get("MAKEIT3D_ATTENTION", "auto")]
 
