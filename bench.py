@@ -29,6 +29,7 @@ self-describing):
   make_step_variant, exactly as the Trainer builds them.
 """
 
+import math
 import glob
 import json
 import os
@@ -601,6 +602,10 @@ def main():
     # --- eval/orbit render phase: one 800x800 test frame as ONE scanned
     # program (the Trainer's render_chunks_scan shape — VERDICT round-1
     # item 9: the orbit frame used to be 157 sequential relay dispatches).
+    # Round-4: production now square-tiles the frame and lax.cond-skips
+    # tiles that miss the occupied-cell AABB (the frame is march-bound,
+    # probe_eval_frame.py; trainer.render_image) — the bench mirrors it,
+    # including the host-side tile (re)assembly the production loop pays.
     # Timed per frame INCLUDING the D2H image fetch, which is what the
     # production test loop pays per written PNG. ---
     report["eval_frame_800_ms"] = None
@@ -611,47 +616,57 @@ def main():
             raise RuntimeError("degraded relay window")
         if remaining() < 150.0:
             raise RuntimeError("budget exhausted")
-        from makeit3d_tpu.models.renderer import render_occupancy
+        from makeit3d_tpu.models.renderer import render_eval_chunk_skippable
+        from makeit3d_tpu.ops.grid import occupied_aabb
 
         es = RenderSettings.from_config(cfg, training=False)
         t_sampler = ViewSampler(cfg, type="test", H=cfg.H, W=cfg.W,
                                 size=8, seed=0)
         view = t_sampler.get(0)
         B = cfg.max_ray_batch
-        n_rays = cfg.H * cfg.W
-        n_chunks = -(-n_rays // B)
-        pad = n_chunks * B - n_rays
+        T = int(math.isqrt(B))
+        assert T * T == B, "eval tiling expects a square max_ray_batch"
+        H, W = cfg.H, cfg.W
+        Ht, Wt = -(-H // T), -(-W // T)
+        n_chunks = Ht * Wt
+        pad_hw = ((0, Ht * T - H), (0, Wt * T - W))
 
-        def chunked(a, fill):
-            a = a.reshape(n_rays, -1)
-            tail = np.broadcast_to(fill, (pad, a.shape[1]))
-            return jnp.asarray(
-                np.concatenate([a, tail]).reshape(n_chunks, B, -1))
-
-        ro = chunked(view.rays_o.astype(np.float32), view.rays_o.reshape(-1, 3)[:1])
-        rd = chunked(view.rays_d.astype(np.float32), view.rays_d.reshape(-1, 3)[:1])
-        ds = chunked(view.depth_scale.astype(np.float32),
-                     np.ones((1, 1), np.float32))[..., 0]
+        def tile_up(a, comps):
+            g = np.asarray(a, np.float32).reshape(H, W, comps)
+            g = np.pad(g, pad_hw + ((0, 0),), mode="edge")
+            return (g.reshape(Ht, T, Wt, T, comps)
+                    .transpose(0, 2, 1, 3, 4).reshape(n_chunks, B, comps))
 
         @jax.jit
         def eval_frame(params, grid, ro, rd, ds, key):
+            aabb_occ = occupied_aabb(grid.occ, es.bound)
+
             def body(_, inp):
                 o, d, s = inp
-                out = render_occupancy(
-                    field, params, grid, o, d, es, key, training=False,
-                    shading_mode=0, ambient_ratio=1.0, bg_color=1.0,
-                    perturb=False, depth_scale=s)
+                out = render_eval_chunk_skippable(
+                    field, params, grid, o, d, es, key, bg_color=1.0,
+                    depth_scale=s, aabb_occ=aabb_occ)
                 return _, (out["image"], out["depth"])
             _, outs = jax.lax.scan(body, None, (ro, rd, ds))
             return outs
 
-        img, _ = eval_frame(params, grid, ro, rd, ds, key)  # compile
-        _ = np.asarray(img)  # fetch = true completion
+        def run_frame(params, grid, key):
+            # production per-frame cost: host tiling, device render,
+            # D2H fetch, host untiling
+            ro = jnp.asarray(tile_up(view.rays_o, 3))
+            rd = jnp.asarray(tile_up(view.rays_d, 3))
+            ds = jnp.asarray(tile_up(view.depth_scale, 1)[..., 0])
+            img, _ = eval_frame(params, grid, ro, rd, ds, key)
+            img = (np.asarray(img).reshape(Ht, Wt, T, T, 3)
+                   .transpose(0, 2, 1, 3, 4)
+                   .reshape(Ht * T, Wt * T, 3)[:H, :W])
+            return img
+
+        _ = run_frame(params, grid, key)  # compile
         n_f = 3
         t0 = time.time()
         for _i in range(n_f):
-            img, _ = eval_frame(params, grid, ro, rd, ds, key)
-            _ = np.asarray(img)
+            _ = run_frame(params, grid, key)
         report["eval_frame_800_ms"] = round(
             (time.time() - t0) / n_f * 1000.0, 1)
     except Exception as e:

@@ -153,6 +153,15 @@ class Config:
     # a compile-time constant so one XLA program serves every step.
     train_samples_per_ray: int = 96
     eval_samples_per_ray: int = 192
+    # Eval-frame chunk skipping against the occupied-cell AABB: chunks
+    # whose rays all miss the box composite to exactly bg and skip the
+    # march + field via lax.cond (semantics-preserving; the eval frame
+    # is march-bound, scripts/probe_eval_frame.py). eval_tile reorders
+    # the frame's rays into square pixel tiles (side = sqrt of
+    # max_ray_batch) instead of scanline bands so the skip predicate
+    # fires on background columns too; output is reassembled exactly.
+    eval_aabb_skip: bool = True
+    eval_tile: bool = True
     # occupancy grid resolution (reference: renderer.py:106 grid_size=128)
     grid_size: int = 128
     # hash encoding (reference: nerf/network_tcnn.py:54-65)

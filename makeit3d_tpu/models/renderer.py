@@ -346,6 +346,65 @@ def render_occupancy(
     return results
 
 
+def render_eval_chunk_skippable(
+    field,
+    variables,
+    grid: DensityGrid,
+    rays_o: jnp.ndarray,      # [N, 3]
+    rays_d: jnp.ndarray,      # [N, 3]
+    settings: RenderSettings,
+    key: jax.Array,
+    bg_color,                 # scalar or [3]
+    depth_scale: Optional[jnp.ndarray],
+    aabb_occ: jnp.ndarray,    # [6] from ops.grid.occupied_aabb
+    shading_mode=0,
+    ambient_ratio=1.0,
+) -> Dict[str, jnp.ndarray]:
+    """One eval chunk, lax.cond-skipped when it misses the occupied box.
+
+    A chunk none of whose rays intersects the occupied-cell AABB
+    composits to exactly (bg, max_depth * depth_scale, ws=0, normal=bg)
+    — see render_occupancy's finalization — so the march + field are
+    skipped wholesale for it. Semantics-preserving: the AABB is a
+    conservative superset of the occupancy (parity test
+    tests/test_eval_skip.py). The eval frame is march-bound on TPU
+    (~54% of the 6 s 800^2 frame, scripts/probe_eval_frame.py) and most
+    tiles of an object-centric frame never touch the object, so this is
+    the frame's main lever. Returns the four eval outputs only (the
+    cond branches must be identical pytrees; the loss/telemetry keys of
+    the full render are training-path outputs anyway).
+    """
+    s = settings
+    N = rays_o.shape[0]
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb_occ, s.min_near)
+    any_hit = jnp.any(nears < fars)
+
+    def full(_):
+        out = render_occupancy(
+            field, variables, grid, rays_o, rays_d, s, key,
+            training=False, shading_mode=shading_mode,
+            ambient_ratio=ambient_ratio, bg_color=bg_color, perturb=False,
+            depth_scale=depth_scale,
+        )
+        return {k: out[k].astype(jnp.float32)
+                for k in ("image", "depth", "weights_sum", "normal")}
+
+    def skip(_):
+        bg = jnp.broadcast_to(
+            jnp.asarray(bg_color, jnp.float32).reshape(-1), (N, 3))
+        depth = jnp.full((N,), s.max_depth, jnp.float32)
+        if depth_scale is not None:
+            depth = depth * depth_scale.reshape(N)
+        return {
+            "image": bg,
+            "depth": depth,
+            "weights_sum": jnp.zeros((N,), jnp.float32),
+            "normal": bg,
+        }
+
+    return jax.lax.cond(any_hit, full, skip, None)
+
+
 def march_stage(
     grid: DensityGrid,
     rays_o: jnp.ndarray,

@@ -152,6 +152,58 @@ def update_density_grid(
     )
 
 
+def occupied_aabb(occ: jnp.ndarray, bound: float,
+                  margin_cells: int = 1) -> jnp.ndarray:
+    """World-space AABB of the occupied cells, [6] (lo_xyz, hi_xyz).
+
+    occ: [C, H, H, H] uint8. Cascade c spans [-mb, mb]^3 with
+    mb = min(2^c, bound) (same mip convention as occupancy_lookup /
+    raymarching.cu mip_from_pos); cell i covers
+    [(i/H*2-1)*mb, ((i+1)/H*2-1)*mb). The box is the union over
+    cascades, expanded by `margin_cells` cells of the coarsest
+    contributing cascade as an fp-rounding guard. A fully empty grid
+    returns a ZERO-VOLUME box (lo == hi, outside the scene): the slab
+    test is plane-order-insensitive — a lo > hi box behaves like its
+    sorted twin — but near == far never passes the strict near < far
+    hit test, so every ray misses, which is the correct render (pure
+    background).
+
+    Eval-time use: any ray chunk whose slab test misses this box
+    composits to exactly (bg, max_depth, ws=0) — render_chunks_scan
+    lax.cond-skips the march + field for it (round-3 verdict item 7:
+    the 800^2 eval frame is march-bound; the march is ~54% of the 6 s
+    frame and most tiles of an object-centric frame never touch the
+    object).
+    """
+    C, H = occ.shape[0], occ.shape[-1]
+    lo = jnp.full((3,), jnp.inf, jnp.float32)
+    hi = jnp.full((3,), -jnp.inf, jnp.float32)
+    for c in range(C):
+        mb = min(2.0 ** c, float(bound))
+        cell = 2.0 * mb / H
+        level = occ[c] > 0
+        any_occ = jnp.any(level)
+        for ax in range(3):
+            proj = jnp.any(level, axis=tuple(a for a in range(3)
+                                             if a != ax))  # [H]
+            first = jnp.argmax(proj).astype(jnp.float32)
+            last = (H - 1.0) - jnp.argmax(proj[::-1]).astype(jnp.float32)
+            lo_c = (first / H * 2.0 - 1.0) * mb - margin_cells * cell
+            hi_c = ((last + 1.0) / H * 2.0 - 1.0) * mb + margin_cells * cell
+            lo = lo.at[ax].set(jnp.where(any_occ,
+                                         jnp.minimum(lo[ax], lo_c), lo[ax]))
+            hi = hi.at[ax].set(jnp.where(any_occ,
+                                         jnp.maximum(hi[ax], hi_c), hi[ax]))
+    # empty grid: +/-inf would poison the slab test's 0*inf -> nan paths;
+    # use a zero-volume finite box outside the scene instead
+    empty = ~jnp.isfinite(lo[0])
+    lo = jnp.where(empty, jnp.full((3,), 2.0 * bound, jnp.float32),
+                   jnp.clip(lo, -bound, bound))
+    hi = jnp.where(empty, jnp.full((3,), 2.0 * bound, jnp.float32),
+                   jnp.clip(hi, -bound, bound))
+    return jnp.concatenate([lo, hi])
+
+
 def occupancy_lookup(
     occ: jnp.ndarray, xyz: jnp.ndarray, bound: float
 ) -> jnp.ndarray:

@@ -103,7 +103,7 @@ def main():
 
     results = []
     combos = [(4096, 192), (16384, 192), (65536, 192),
-              (16384, 128), (16384, 96), (65536, 96)]
+              (16384, 128), (16384, 96), (65536, 96), (4096, 96)]
     if quick:
         combos = combos[:2]
     import dataclasses
@@ -121,29 +121,33 @@ def main():
         print(json.dumps(row), flush=True)
         results.append(row)
 
-    # decomposition at the current production shape: march-only
-    B, S = 4096, 192
-    es = RenderSettings.from_config(cfg, training=False)
-    ro, rd, ds = make_inputs(B)
+    # decomposition: march-only at the production shape and at the
+    # probe's best (chunk, samples) combo
+    import dataclasses as _dc
     aabb = jnp.asarray([-cfg.bound] * 3 + [cfg.bound] * 3, jnp.float32)
+    for B, S in ([(4096, 192)] if quick else [(4096, 192), (16384, 96)]):
+        es = _dc.replace(RenderSettings.from_config(cfg, training=False),
+                         n_samples=S)
+        ro, rd, ds = make_inputs(B)
 
-    @jax.jit
-    def march_only(grid, ro, rd, key):
-        def body(_, inp):
-            o, d = inp
-            nears, fars = near_far_from_aabb(o, d, aabb, cfg.min_near)
-            m = march_rays(o, d, grid.occ, cfg.bound, nears, fars,
-                           max_steps=es.max_steps, n_samples=es.n_samples,
-                           perturb=False, key=key)
-            return _, (m.deltas.sum(), m.xyzs.sum())
-        _, outs = jax.lax.scan(body, None, (ro, rd))
-        return outs
+        @jax.jit
+        def march_only(grid, ro, rd, key):
+            def body(_, inp):
+                o, d = inp
+                nears, fars = near_far_from_aabb(o, d, aabb, cfg.min_near)
+                m = march_rays(o, d, grid.occ, cfg.bound, nears, fars,
+                               max_steps=es.max_steps,
+                               n_samples=es.n_samples,
+                               perturb=False, key=key)
+                return _, (m.dts.sum(), m.xyzs.sum())
+            _, outs = jax.lax.scan(body, None, (ro, rd))
+            return outs
 
-    dt = timeit(march_only, (grid, ro, rd, key))
-    row = {"stage": "march_only", "chunk": B, "samples": S,
-           "frame_ms": round(dt * 1000, 1)}
-    print(json.dumps(row), flush=True)
-    results.append(row)
+        dt = timeit(march_only, (grid, ro, rd, key))
+        row = {"stage": "march_only", "chunk": B, "samples": S,
+               "frame_ms": round(dt * 1000, 1)}
+        print(json.dumps(row), flush=True)
+        results.append(row)
 
     print(json.dumps({"summary": results}))
 
