@@ -704,9 +704,11 @@ class Trainer:
         self._render_chunk = render_chunk
 
         @functools.partial(jax.jit,
-                           static_argnames=("n_chunks", "n_samples"))
+                           static_argnames=("n_chunks", "n_samples",
+                                            "use_skip"))
         def render_chunks_scan(params, grid, rays_o, rays_d, key, bg_color,
-                               depth_scale, n_chunks, n_samples=None):
+                               depth_scale, n_chunks, n_samples=None,
+                               use_skip=False):
             """Full-image eval render as ONE program: lax.scan over ray
             chunks instead of n_chunks sequential host dispatches. An
             800x800 orbit frame was 157 round-trips through the
@@ -718,11 +720,16 @@ class Trainer:
                 import dataclasses as _dc
                 s = _dc.replace(s, n_samples=n_samples)
 
-            if getattr(self.cfg, "eval_aabb_skip", True):
+            if use_skip:
                 # occupied-box chunk skip: the eval frame is march-bound
                 # (probe_eval_frame.py: march = 3.2 s of the 6 s 800^2
                 # frame) and background chunks composite to exactly bg,
                 # so cond-skip them against the occupied-cell AABB.
+                # use_skip is decided host-side per frame (render_image):
+                # on a dense grid (early training: init is fully
+                # occupied) nothing skips and the cond + tile padding
+                # cost a measured +15% (probe_eval_skip.py), so the
+                # plain program is kept for that regime.
                 from ..models.renderer import render_eval_chunk_skippable
                 from ..ops.grid import occupied_aabb
 
@@ -755,6 +762,13 @@ class Trainer:
             return outs
 
         self._render_chunks_scan = render_chunks_scan
+
+        from ..ops.grid import occupied_aabb as _occ_aabb
+
+        # one tiny jitted program (eager jnp would be dozens of relay
+        # round-trips through axon); bound is static
+        self._occupied_aabb_jit = jax.jit(
+            lambda occ: _occ_aabb(occ, self.cfg.bound))
 
     # ------------------------------------------------------------------
     def _prep_ref(self, ref_rgba, ref_depth, ref_mask):
@@ -1184,6 +1198,29 @@ class Trainer:
                  and getattr(cfg, "eval_aabb_skip", True)
                  and T * T == B and H >= T and W >= T)
         if tiled:
+            # Host-side per-frame decision: the skip program only pays
+            # when tiles actually skip. Fetch the occupied AABB ([6]
+            # floats) and count skippable tiles with a numpy slab test;
+            # below 10% skippable, the plain scanline program is faster
+            # (the cond + tile padding cost +15% on a dense grid,
+            # probe_eval_skip.py — early training starts fully
+            # occupied).
+            box = np.asarray(self._occupied_aabb_jit(self.grid.occ))
+            o = np.asarray(view.rays_o, np.float32).reshape(-1, 3)
+            d = np.asarray(view.rays_d, np.float32).reshape(-1, 3)
+            eps = 1e-15
+            tmin = (box[:3] - o) / (d + eps)
+            tmax = (box[3:] - o) / (d + eps)
+            near = np.minimum(tmin, tmax).max(-1)
+            far = np.maximum(tmin, tmax).min(-1)
+            hit = (near < far).reshape(H, W)
+            Ht0, Wt0 = -(-H // T), -(-W // T)
+            hit_p = np.pad(hit, ((0, Ht0 * T - H), (0, Wt0 * T - W)),
+                           mode="edge")
+            tile_hit = hit_p.reshape(Ht0, T, Wt0, T).any(axis=(1, 3))
+            tiled = float(1.0 - tile_hit.mean()) >= 0.1
+        self._last_eval_used_skip = tiled  # observability / tests
+        if tiled:
             Ht, Wt = -(-H // T), -(-W // T)
             n_chunks = Ht * Wt
             pad_hw = ((0, Ht * T - H), (0, Wt * T - W))
@@ -1221,7 +1258,7 @@ class Trainer:
         outs = self._render_chunks_scan(
             self.params, self.grid, jnp.asarray(ro), jnp.asarray(rd),
             k, bg, jnp.asarray(ds), n_chunks=n_chunks,
-            n_samples=n_samples,
+            n_samples=n_samples, use_skip=tiled,
         )
         if tiled:
             def untile(v):

@@ -192,6 +192,27 @@ def test_render_image_tiled_parity(tmp_path):
                                    err_msg=k)
 
 
+def test_render_image_skip_decision(tmp_path):
+    """Host-side per-frame regime pick: dense grid -> plain program
+    (nothing would skip; the cond+padding overhead is a measured +15%,
+    probe_eval_skip.py); sparse off-center grid -> tiled skip program."""
+    from makeit3d_tpu.cameras import ViewSampler
+    from makeit3d_tpu.ops.grid import init_density_grid
+
+    tr = _mini_trainer(tmp_path / "a")
+    view = ViewSampler(tr.cfg, type="test", H=32, W=32, size=8,
+                       seed=0).get(0)
+
+    tr.grid = init_density_grid(tr.cfg.cascade, tr.cfg.grid_size,
+                                occupied=True)  # dense: early training
+    tr.render_image(view, bg_color=1.0)
+    assert tr._last_eval_used_skip is False
+
+    tr.grid = _sphere_grid(tr.cfg, (0.55, 0.55, 0.0), 0.15)
+    tr.render_image(view, bg_color=1.0)
+    assert tr._last_eval_used_skip is True
+
+
 def test_render_image_nonsquare_pads(tmp_path):
     """H, W not multiples of the tile side reassemble exactly."""
     from makeit3d_tpu.cameras import ViewSampler
