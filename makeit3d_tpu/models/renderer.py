@@ -58,6 +58,10 @@ class RenderSettings:
     # (see Config.deferred_shading). Training-path only; the eval/test
     # renders and the encode-split (field_eval override) path ignore it.
     deferred_shading: bool = False
+    # log-density cap for the saturation loss (Config.lambda_sigma_cap):
+    # training renders report mean relu(log(sigma) - sigma_cap_log) over
+    # valid samples as results["loss_sigma_cap"].
+    sigma_cap_log: float = 9.0
     field_chunk: int = 1 << 17    # samples per rematerialized field chunk
     # Training-path compositor backend. None = auto (Pallas on TPU). The
     # Pallas kernel pair (ops/pallas/composite.py) mirrors the CUDA
@@ -78,6 +82,7 @@ class RenderSettings:
             compute_smooth=cfg.lambda_smooth > 0,
             smooth_subset=getattr(cfg, "smooth_subset", 1.0),
             deferred_shading=bool(getattr(cfg, "deferred_shading", False)),
+            sigma_cap_log=getattr(cfg, "sigma_cap_log", 9.0),
         )
 
 
@@ -232,6 +237,21 @@ def render_occupancy(
     # (renderer.py:129-132,633-637) becomes a per-step scalar; here the
     # budget is static so this only feeds observability, not buffer sizing.
     results["n_valid"] = nvalid
+
+    if training:
+        # density-saturation cap (Config.lambda_sigma_cap): mean excess
+        # log-density above the cap over valid samples. Where sigma has
+        # saturated, the alpha gradient dt*exp(-sigma*dt) has vanished
+        # and no ray-space loss can pull the region down; through the
+        # exp parametrization this term's raw-logit gradient is a
+        # constant above the cap (d relu(log sigma - tau)/d sigma =
+        # 1/sigma, times dsigma/dv = sigma), so saturated junk decays
+        # linearly. No reference analogue (the docstring of
+        # Config.lambda_sigma_cap records the failure mode).
+        excess = jnp.maximum(
+            jnp.log(jnp.maximum(sigmas, 1e-12)) - s.sigma_cap_log, 0.0)
+        results["loss_sigma_cap"] = jnp.sum(
+            jnp.where(m.valid, excess, 0.0)) / nvalid
 
     if deferred:
         # --- deferred shading: one normal chain at the per-ray surface

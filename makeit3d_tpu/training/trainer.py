@@ -160,6 +160,10 @@ def build_loss_fn(cfg, field, settings, guidance, is_front: bool,
             l_ent = entropy_loss(pred_ws)
             loss += cfg.lambda_entropy * l_ent * (1.0 + 9.0 * diff_phase)
             metrics["loss_entropy"] = l_ent
+        if cfg.lambda_sigma_cap > 0 and "loss_sigma_cap" in out:
+            l_cap = out["loss_sigma_cap"]
+            loss += cfg.lambda_sigma_cap * l_cap
+            metrics["loss_sigma_cap"] = l_cap
         if cfg.lambda_orient > 0 and shaded:
             # reference adds lambda*loss once plus (1x | 10x) more
             # (utils.py:538-544): effective 2x pre-diff, 11x after
@@ -460,6 +464,19 @@ def make_step_variant(cfg, field, optimizer, settings, guidance, *,
     use_split = resolve_split_encode(cfg, field) and (
         shaded or resolve_scatter_impl(cfg) == "sorted")
     if use_split:
+        if shaded and getattr(cfg, "deferred_shading", False):
+            # advisor r4 #4: the renderer's deferred branch requires the
+            # plain field evaluators and silently no-ops under the
+            # encode-split overrides; --deferred_shading with the hash
+            # backbone would otherwise A/B per-sample shading against
+            # itself.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "deferred_shading is set but the encode-split path is "
+                "active (backbone=%s): the shaded step keeps per-sample "
+                "shading (models/renderer.py deferred gate)",
+                cfg.backbone)
         from .split_step import make_split_encode_step
 
         return make_split_encode_step(
@@ -1177,6 +1194,26 @@ class Trainer:
         return metrics, aux
 
     # ------------------------------------------------------------------
+    def _eval_occ_filtered(self):
+        """Dust-filtered occupancy for eval renders, cached per grid
+        generation (the filter is a host scipy pass over the fetched
+        2 MB bitfield; render_image is called 33+ times per eval orbit
+        against the same grid)."""
+        occ = self.grid.occ
+        frac = float(getattr(self.cfg, "eval_dust_frac", 0.0))
+        if frac <= 0.0:
+            return occ
+        cache = getattr(self, "_eval_occ_cache", None)
+        if cache is not None and cache[0] is occ:
+            return cache[1]
+        from ..ops.grid import dust_filter_occ
+
+        filtered, dropped = dust_filter_occ(np.asarray(occ), frac)
+        filtered_dev = jnp.asarray(filtered)
+        self._eval_occ_cache = (occ, filtered_dev)
+        self._eval_dust_dropped = dropped  # observability / tests
+        return filtered_dev
+
     def render_image(self, view, bg_color=1.0, n_samples=None):
         """Staged full-image render (reference: renderer.py:655-668).
 
@@ -1186,65 +1223,48 @@ class Trainer:
         cfg = self.cfg
         H, W = view.H, view.W
         B = cfg.max_ray_batch
-        T = int(math.isqrt(B))
+        from .eval_frame import pack_scanlines, plan_tiles
+
         # Square-tile chunking: with the occupied-AABB chunk skip live,
         # scanline bands only skip when the object misses whole ROWS;
         # sqrt(B)-sided pixel tiles also skip background COLUMNS (an
-        # object-centric 800^2 frame is mostly skippable tiles). Pads
-        # the frame to a tile multiple with edge-replicated rays
-        # (discarded on reassembly; replicated edge rays keep pad tiles
-        # skippable exactly when their source tiles are).
-        tiled = (getattr(cfg, "eval_tile", True)
-                 and getattr(cfg, "eval_aabb_skip", True)
-                 and T * T == B and H >= T and W >= T)
-        if tiled:
+        # object-centric 800^2 frame is mostly skippable tiles).
+        plan = (plan_tiles(H, W, B)
+                if (getattr(cfg, "eval_tile", True)
+                    and getattr(cfg, "eval_aabb_skip", True)) else None)
+        grid_eval = self.grid
+        tiled = False
+        if plan is not None:
             # Host-side per-frame decision: the skip program only pays
-            # when tiles actually skip. Fetch the occupied AABB ([6]
-            # floats) and count skippable tiles with a numpy slab test;
-            # below 10% skippable, the plain scanline program is faster
-            # (the cond + tile padding cost +15% on a dense grid,
+            # when tiles actually skip. Dust-filter the occupancy (a
+            # single stray cell pins the box at the full bound), fetch
+            # the occupied AABB ([6] floats) and count skippable tiles
+            # with the numpy mirror of the device slab test; below 10%
+            # skippable, the plain scanline program is faster (the cond
+            # + tile padding cost +15% on a dense grid,
             # probe_eval_skip.py — early training starts fully
             # occupied).
-            box = np.asarray(self._occupied_aabb_jit(self.grid.occ))
-            o = np.asarray(view.rays_o, np.float32).reshape(-1, 3)
-            d = np.asarray(view.rays_d, np.float32).reshape(-1, 3)
-            eps = 1e-15
-            tmin = (box[:3] - o) / (d + eps)
-            tmax = (box[3:] - o) / (d + eps)
-            near = np.minimum(tmin, tmax).max(-1)
-            far = np.maximum(tmin, tmax).min(-1)
-            hit = (near < far).reshape(H, W)
-            Ht0, Wt0 = -(-H // T), -(-W // T)
-            hit_p = np.pad(hit, ((0, Ht0 * T - H), (0, Wt0 * T - W)),
-                           mode="edge")
-            tile_hit = hit_p.reshape(Ht0, T, Wt0, T).any(axis=(1, 3))
-            tiled = float(1.0 - tile_hit.mean()) >= 0.1
+            occ_f = self._eval_occ_filtered()
+            box = np.asarray(self._occupied_aabb_jit(occ_f))
+            frac = plan.skippable_frac(box, view.rays_o, view.rays_d,
+                                       cfg.min_near)
+            tiled = frac >= 0.1
         self._last_eval_used_skip = tiled  # observability / tests
         if tiled:
-            Ht, Wt = -(-H // T), -(-W // T)
-            n_chunks = Ht * Wt
-            pad_hw = ((0, Ht * T - H), (0, Wt * T - W))
-
-            def tile_up(a, comps):
-                g = np.asarray(a, np.float32).reshape(H, W, comps)
-                g = np.pad(g, pad_hw + ((0, 0),), mode="edge")
-                return (g.reshape(Ht, T, Wt, T, comps)
-                        .transpose(0, 2, 1, 3, 4)
-                        .reshape(n_chunks, B, comps))
-
-            ro = tile_up(view.rays_o, 3)
-            rd = tile_up(view.rays_d, 3)
-            ds = tile_up(view.depth_scale, 1)[..., 0]
+            # the render marches the dust-filtered occupancy so the
+            # frame is consistent: sub-threshold floaters are culled
+            # everywhere, not just in skipped tiles (dust_filter_occ
+            # docstring: the exporter's keep-rule, eval-only)
+            grid_eval = self.grid._replace(occ=self._eval_occ_filtered())
+            n_chunks = plan.n_chunks
+            ro = plan.tile_up(view.rays_o, 3)
+            rd = plan.tile_up(view.rays_d, 3)
+            ds = plan.tile_up(view.depth_scale, 1)[..., 0]
         else:
-            rays_o = view.rays_o.reshape(-1, 3)
-            rays_d = view.rays_d.reshape(-1, 3)
-            depth_scale = view.depth_scale.reshape(-1)
             n_chunks = -(-H * W // B)
-            pad = n_chunks * B - H * W
-            ro = np.pad(rays_o, ((0, pad), (0, 0))).reshape(n_chunks, B, 3)
-            rd = np.pad(rays_d, ((0, pad), (0, 0)),
-                        constant_values=1.0).reshape(n_chunks, B, 3)
-            ds = np.pad(depth_scale, (0, pad)).reshape(n_chunks, B)
+            ro = pack_scanlines(view.rays_o, 3, H, W, B)
+            rd = pack_scanlines(view.rays_d, 3, H, W, B, pad_value=1.0)
+            ds = pack_scanlines(view.depth_scale, 1, H, W, B)[..., 0]
         # gen-guarded key advance: render_image runs under the watchdog
         # from evaluate()/test(); a zombie thread must not overwrite the
         # key restored by _recover_from_fault (same discipline as step()).
@@ -1256,18 +1276,12 @@ class Trainer:
         self.key = key
         bg = jnp.asarray(np.broadcast_to(bg_color, (3,)), jnp.float32)
         outs = self._render_chunks_scan(
-            self.params, self.grid, jnp.asarray(ro), jnp.asarray(rd),
+            self.params, grid_eval, jnp.asarray(ro), jnp.asarray(rd),
             k, bg, jnp.asarray(ds), n_chunks=n_chunks,
             n_samples=n_samples, use_skip=tiled,
         )
         if tiled:
-            def untile(v):
-                comps = v.shape[2:]
-                g = (np.asarray(v).reshape(Ht, Wt, T, T, *comps)
-                     .transpose(0, 2, 1, 3, *range(4, 4 + len(comps))))
-                return g.reshape(Ht * T, Wt * T, *comps)[:H, :W]
-
-            res = {k2: untile(v) for k2, v in outs.items()}
+            res = {k2: plan.untile(v) for k2, v in outs.items()}
             res["depth"] = res["depth"].reshape(H, W)
             res["weights_sum"] = res["weights_sum"].reshape(H, W)
             return res

@@ -78,51 +78,87 @@ def main():
 
     # extra Config overrides, e.g. AB_OVERRIDES='{"smooth_subset":0.25}'
     # AB_TAG suffixes the workspace/row so two configs can coexist.
+    # AB_SEEDS='0,1,2' runs each leg per seed and adds a mean +/- spread
+    # summary row (round-4 verdict weak #4: a single-seed 400-iter A/B
+    # showed a 5.7 dB swing between nominally-nested configs; defaults
+    # must clear a seeded spread, not one draw).
     overrides = json.loads(os.environ.get("AB_OVERRIDES", "{}"))
     tag = os.environ.get("AB_TAG", "")
+    seeds = [int(s) for s in os.environ.get("AB_SEEDS", "0").split(",")]
 
     rows = []
     for bb in backbones:
-        ws = os.path.join("results", f"ab_{bb}{tag}")
-        cfg = Config(
-            guidance="none", backbone=bb, h=res, w=res, H=res, W=res,
-            iters=iters, eval_interval=1_000_000,  # no mid-run evals
-            workspace=ws, **overrides,
-        )
-        t0 = time.time()
-        trainer = Trainer(cfg, guidance=None, ref_rgba=ref_rgba,
-                          ref_depth=ref_depth, ref_mask=ref_mask,
-                          workspace=ws, seed=0, use_checkpoint="scratch")
-        trainer.train(max_epochs=-(-iters // 100))
-        train_min = (time.time() - t0) / 60.0
+        seed_rows = []
+        for seed in seeds:
+            ws = os.path.join(
+                "results",
+                f"ab_{bb}{tag}" + (f"_s{seed}" if seed != 0 else ""))
+            cfg = Config(
+                guidance="none", backbone=bb, h=res, w=res, H=res, W=res,
+                iters=iters, eval_interval=1_000_000,  # no mid-run evals
+                workspace=ws, **overrides,
+            )
+            t0 = time.time()
+            trainer = Trainer(cfg, guidance=None, ref_rgba=ref_rgba,
+                              ref_depth=ref_depth, ref_mask=ref_mask,
+                              workspace=ws, seed=seed,
+                              use_checkpoint="scratch")
+            trainer.train(max_epochs=-(-iters // 100))
+            train_min = (time.time() - t0) / 60.0
 
-        # the exact front pose: train sampler index 0 (front every 4th,
-        # reference provider.py:143-214)
-        view = ViewSampler(cfg, type="train", H=res, W=res, size=4,
-                           seed=0).get(0)
-        out = trainer.render_image(view, bg_color=1.0)
-        img = np.clip(out["image"], 0.0, 1.0)
+            # the exact front pose: train sampler index 0 (front every
+            # 4th, reference provider.py:143-214)
+            view = ViewSampler(cfg, type="train", H=res, W=res, size=4,
+                               seed=0).get(0)
+            out = trainer.render_image(view, bg_color=1.0)
+            img = np.clip(out["image"], 0.0, 1.0)
 
-        # depth Pearson in the object mask (same formulation as the
-        # training loss, losses.masked_pearson_depth, but on the render)
-        pd, gd = out["depth"][gtm], gtd[gtm]
-        if pd.std() > 1e-8 and gd.std() > 1e-8:
-            pearson = float(np.corrcoef(pd, gd)[0, 1])
-        else:
-            pearson = float("nan")
+            # depth Pearson in the object mask (same formulation as the
+            # training loss, losses.masked_pearson_depth, on the render)
+            pd, gd = out["depth"][gtm], gtd[gtm]
+            if pd.std() > 1e-8 and gd.std() > 1e-8:
+                pearson = float(np.corrcoef(pd, gd)[0, 1])
+            else:
+                pearson = float("nan")
 
-        row = {
-            "backbone": bb + tag,
-            "iters": iters,
-            "res": res,
-            "front_psnr_db": round(psnr(img, gt), 2),
-            "front_ssim": round(ssim(img, gt), 4),
-            "depth_pearson": round(pearson, 4),
-            "train_minutes": round(train_min, 2),
-            "device": str(jax.devices()[0]),
-        }
-        print(json.dumps(row), flush=True)
-        rows.append(row)
+            # junk-density telemetry (round-5: guidance-free assets grew
+            # e^15-saturated junk blobs that pinned the occupied box at
+            # the full bound — Config.lambda_sigma_cap docstring): raw
+            # occupancy fraction + dust-filtered box extent along x
+            occ = np.asarray(trainer.grid.occ)
+            from makeit3d_tpu.ops.grid import dust_filter_occ
+
+            occ_f, _ = dust_filter_occ(occ, 0.005)
+            idx = np.argwhere(occ_f[0] > 0)
+            box_ext = (float((idx.max(0) - idx.min(0) + 1).max()
+                             / occ.shape[-1]) if idx.size else 0.0)
+
+            row = {
+                "backbone": bb + tag,
+                "seed": seed,
+                "iters": iters,
+                "res": res,
+                "front_psnr_db": round(psnr(img, gt), 2),
+                "front_ssim": round(ssim(img, gt), 4),
+                "depth_pearson": round(pearson, 4),
+                "occ_frac": round(float((occ > 0).mean()), 4),
+                "box_ext_max": round(box_ext, 3),
+                "train_minutes": round(train_min, 2),
+                "device": str(jax.devices()[0]),
+            }
+            print(json.dumps(row), flush=True)
+            seed_rows.append(row)
+        rows.extend(seed_rows)
+        if len(seeds) > 1:
+            agg = {"backbone": bb + tag, "seeds": seeds}
+            for kmet in ("front_psnr_db", "front_ssim", "depth_pearson",
+                         "occ_frac", "box_ext_max"):
+                vals = np.asarray([r[kmet] for r in seed_rows], np.float64)
+                agg[kmet + "_mean"] = round(float(vals.mean()), 3)
+                agg[kmet + "_spread"] = round(
+                    float(vals.max() - vals.min()), 3)
+            print(json.dumps(agg), flush=True)
+            rows.append(agg)
 
     print(json.dumps({"summary": rows}))
 

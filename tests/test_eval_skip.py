@@ -232,3 +232,97 @@ def test_render_image_nonsquare_pads(tmp_path):
     assert tiled["image"].shape == (48, 40, 3)
     np.testing.assert_allclose(tiled["image"], plain["image"], atol=1e-5)
     np.testing.assert_allclose(tiled["depth"], plain["depth"], atol=1e-5)
+
+
+def test_dust_filter_occ_drops_stray_cells():
+    """Stray occupied cells (floater dust) are removed; the dominant
+    component survives; the filtered box tightens (round-4 verdict
+    weak #7: one stray cell pinned the box at the full bound)."""
+    from makeit3d_tpu.ops.grid import dust_filter_occ
+
+    occ = np.zeros((1, 32, 32, 32), np.uint8)
+    occ[0, 10:20, 10:20, 10:20] = 1            # object: 1000 cells
+    occ[0, 0, 0, 0] = 1                        # corner dust
+    occ[0, 31, 31, 31] = 1                     # corner dust
+    occ[0, 2, 28, 5] = 1                       # stray singleton
+    filt, dropped = dust_filter_occ(occ, 0.005)
+    assert dropped == 3
+    assert filt[0, 0, 0, 0] == 0 and filt[0, 31, 31, 31] == 0
+    assert filt[0, 10:20, 10:20, 10:20].all()
+
+    box = np.asarray(occupied_aabb(jnp.asarray(filt), 1.0))
+    box_raw = np.asarray(occupied_aabb(jnp.asarray(occ), 1.0))
+    assert (box[3:] - box[:3] < box_raw[3:] - box_raw[:3]).all()
+
+    # frac=0 disables: bit-identical passthrough
+    same, d0 = dust_filter_occ(occ, 0.0)
+    assert d0 == 0 and (same == occ).all()
+
+
+def test_dust_filter_keeps_comparable_components():
+    """Two components of similar size both survive (the filter only
+    drops sub-threshold floaters, not legitimate secondary geometry)."""
+    from makeit3d_tpu.ops.grid import dust_filter_occ
+
+    occ = np.zeros((1, 32, 32, 32), np.uint8)
+    occ[0, 4:10, 4:10, 4:10] = 1
+    occ[0, 20:27, 20:27, 20:27] = 1
+    filt, dropped = dust_filter_occ(occ, 0.005)
+    assert dropped == 0
+    assert (filt == occ).all()
+
+
+def test_host_aabb_hit_matches_device():
+    """The host regime-decision slab test reproduces the device
+    predicate (ops.marching.near_far_from_aabb + near < far) on random
+    rays AND on a box entirely behind the camera (advisor r4 #1: the
+    old host test omitted the min_near clamp and counted near<far<0 as
+    a hit)."""
+    from makeit3d_tpu.ops.marching import near_far_from_aabb
+    from makeit3d_tpu.training.eval_frame import host_aabb_hit
+
+    rng = np.random.default_rng(0)
+    box = np.array([-0.4, -0.3, -0.2, 0.5, 0.4, 0.3], np.float32)
+    o = rng.uniform(-2, 2, (512, 3)).astype(np.float32)
+    d = rng.normal(size=(512, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    for min_near in (0.05, 0.1):
+        nears, fars = near_far_from_aabb(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(box), min_near)
+        dev_hit = np.asarray(nears < fars)
+        host_hit = host_aabb_hit(box, o, d, min_near)
+        np.testing.assert_array_equal(host_hit, dev_hit)
+
+    # box entirely behind the camera: rays at +z looking +z, box at -z
+    o2 = np.tile(np.array([[0.0, 0.0, 2.0]], np.float32), (4, 1))
+    d2 = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (4, 1))
+    box2 = np.array([-0.5, -0.5, -0.5, 0.5, 0.5, 0.5], np.float32)
+    nears, fars = near_far_from_aabb(
+        jnp.asarray(o2), jnp.asarray(d2), jnp.asarray(box2), 0.05)
+    assert not np.asarray(nears < fars).any()
+    assert not host_aabb_hit(box2, o2, d2, 0.05).any()
+
+
+def test_render_image_dust_filter_enables_skip(tmp_path):
+    """A sphere grid polluted with corner dust: without the filter the
+    box pins at the full bound and the skip stays off; with it the skip
+    fires and dust floaters are culled from the eval march."""
+    from makeit3d_tpu.cameras import ViewSampler
+
+    tr = _mini_trainer(tmp_path / "a")
+    occ = np.asarray(tr.grid.occ).copy()
+    occ[0, 0, 0, 0] = 1
+    occ[0, -1, -1, -1] = 1
+    tr.grid = tr.grid._replace(occ=jnp.asarray(occ))
+    view = ViewSampler(tr.cfg, type="test", H=32, W=32, size=8,
+                       seed=0).get(0)
+
+    tr.render_image(view, bg_color=1.0)
+    assert tr._last_eval_used_skip is True
+    assert tr._eval_dust_dropped == 2
+
+    # filter disabled: the pinned box keeps the plain program
+    tr2 = _mini_trainer(tmp_path / "b", eval_dust_frac=0.0)
+    tr2.grid = tr2.grid._replace(occ=jnp.asarray(occ))
+    tr2.render_image(view, bg_color=1.0)
+    assert tr2._last_eval_used_skip is False
