@@ -140,18 +140,24 @@ class Config:
     # 14.37 / 0.710; BASELINE.md quality table). Set 1.0 for the
     # reference's exact every-sample behavior.
     smooth_subset: float = 0.25
-    # Deferred shading (TPU-native variant, OFF by default): shade at the
-    # per-ray expected surface point instead of per-sample. The reference
-    # shades every marched sample (network_tcnn.py:156-168) and takes
-    # orient/smooth losses per sample (nerf/renderer.py:513-524); with
-    # analytic-normal backbones that is a second-order double-backward
-    # over all N*S samples — the dominant cost of the shaded program on
-    # TPU (docs/TPU_NOTES.md round-4 close-out). Deferred mode composites
-    # albedo first, then evaluates the normal chain only at the N
-    # composited surface expectations (~100x fewer rows) and shades /
-    # regularizes at the ray level. A documented semantics change, priced
-    # and quality-A/B'd in BASELINE.md before any default flip.
-    deferred_shading: bool = False
+    # Deferred shading (TPU-native variant, ON by default since round
+    # 5): shade at the per-ray expected surface point instead of
+    # per-sample. The reference shades every marched sample
+    # (network_tcnn.py:156-168) and takes orient/smooth losses per
+    # sample (nerf/renderer.py:513-524); with analytic-normal backbones
+    # that is a second-order double-backward over all N*S samples — the
+    # dominant cost of the shaded program on TPU (docs/TPU_NOTES.md
+    # round-4 close-out). Deferred mode composites albedo first, then
+    # evaluates the normal chain only at the N composited surface
+    # expectations (~100x fewer rows) and shades / regularizes at the
+    # ray level. Default flipped on round-5 evidence: shaded step 311->
+    # 142 ms on the v5e (projected mixed headline 4.88 -> 7.05 it/s)
+    # with front-PSNR/SSIM equal to per-sample shading within the
+    # seeded A/B's noise floor (TPU_NOTES round 5; BASELINE.md). Set
+    # False (--per_sample_shading) for the reference's exact per-sample
+    # semantics. No effect on the encode-split (hash) path, which keeps
+    # per-sample shading either way.
+    deferred_shading: bool = True
     lambda_img: float = 1e3
     lambda_depth: float = 1.0
     lambda_clip: float = 1.0

@@ -97,11 +97,18 @@ def parse_args(argv=None):
                         "behavior; <1 subsamples the ~40%%-of-step "
                         "second normal chain)")
     p.add_argument("--deferred_shading", action="store_true",
-                   default=d.deferred_shading,
+                   default=d.deferred_shading, dest="deferred_shading",
                    help="shade at the per-ray surface expectation instead "
                         "of per sample (TPU-native variant: drops the "
                         "per-sample normal chain, ~100x fewer normal rows "
-                        "on the shaded program; see Config.deferred_shading)")
+                        "on the shaded program; the default since round 5 "
+                        "— see Config.deferred_shading)")
+    p.add_argument("--per_sample_shading", action="store_false",
+                   dest="deferred_shading",
+                   help="the reference's exact per-sample shading + "
+                        "sample-space orient/smooth losses "
+                        "(nerf/renderer.py:513-524); ~2.2x slower shaded "
+                        "step on TPU (docs/TPU_NOTES.md round 5)")
     p.add_argument("--lambda_img", type=float, default=d.lambda_img)
     p.add_argument("--lambda_depth", type=float, default=d.lambda_depth)
     p.add_argument("--lambda_clip", type=float, default=d.lambda_clip)
@@ -113,6 +120,15 @@ def parse_args(argv=None):
                    default=d.train_samples_per_ray)
     p.add_argument("--eval_samples_per_ray", type=int,
                    default=d.eval_samples_per_ray)
+    p.add_argument("--eval_dust_frac", type=float, default=d.eval_dust_frac,
+                   help="eval-time occupancy floater filter: components "
+                        "below this fraction of the largest (world "
+                        "volume) are culled from eval marches and the "
+                        "tile-skip box. 0.005 = the mesh exporter's "
+                        "keep-rule (default); 0.5 = dominant-component "
+                        "orbit renders for guidance-free demo assets "
+                        "(culls feature-aliasing junk, TPU_NOTES round "
+                        "5); 0 disables. Training is never filtered")
     p.add_argument("--sd_weights", type=str, default=None,
                    help="local diffusers-layout weight dir")
     p.add_argument("--clip_weights", type=str, default=None)

@@ -32,7 +32,11 @@ def main():
     from makeit3d_tpu.training.trainer import Trainer
 
     cfg = Config(guidance="none", workspace="results/_drive_tmp",
-                 backbone=os.environ.get("DRIVE_BACKBONE", "fourier"))
+                 backbone=os.environ.get("DRIVE_BACKBONE", "fourier"),
+                 # DRIVE_DUST=0.5 = dominant-component eval filter (cull
+                 # aliasing junk on guidance-free assets; TPU_NOTES r5)
+                 eval_dust_frac=float(os.environ.get("DRIVE_DUST",
+                                                     "0.005")))
     tr = Trainer(cfg, name="drive", use_checkpoint=ckpt)
 
     view = ViewSampler(cfg, type="test", H=res, W=res, size=8, seed=0).get(0)

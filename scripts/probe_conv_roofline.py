@@ -43,6 +43,34 @@ def bench(fn, *args, iters=5, fetch=lambda out: float(np.asarray(out).sum())):
     return (time.time() - t0) / iters
 
 
+def bench_scanned(apply_fn, x0, K=32, iters=3):
+    """Per-application time of a shape-preserving op, measured as K
+    data-chained applications inside ONE jitted lax.scan program.
+
+    The first version of this probe timed single-op programs through
+    the axon relay and measured ~4.7 ms for EVERY shape — that is the
+    relay's per-dispatch latency floor, not compute (a 15-GFLOP conv
+    at 50% of the v5e's bf16 peak is ~0.15 ms). In-program repetition
+    amortizes the dispatch to noise; the 1e-3 rescale keeps bf16
+    activations finite across K chained applications."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(x):
+        def body(c, _):
+            y = apply_fn(c)
+            return (y * 1e-3).astype(c.dtype), ()
+        out, _ = jax.lax.scan(body, x, None, length=K)
+        return jnp.sum(out.astype(jnp.float32))
+
+    _ = float(np.asarray(run(x0)))  # compile + warm
+    t0 = time.time()
+    for _i in range(iters):
+        _ = float(np.asarray(run(x0)))
+    return (time.time() - t0) / (iters * K)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -98,45 +126,49 @@ def main():
                 continue
             conv = ConvOnly(C=C, dtype=dtype)
             p = conv.init(key, x)
-            f = jax.jit(lambda p, x: jnp.sum(
-                conv.apply(p, x.astype(dtype)).astype(jnp.float32)))
-            dt = bench(f, p, x)
-            row[f"conv_{tag}_ms"] = round(dt * 1e3, 2)
+            dt = bench_scanned(
+                lambda c, p=p, conv=conv: conv.apply(p, c),
+                x.astype(dtype))
+            row[f"conv_{tag}_ms"] = round(dt * 1e3, 3)
             row[f"conv_{tag}_tflops"] = round(flops_fwd / dt / 1e12, 1)
             row[f"conv_{tag}_mfu"] = round(flops_fwd / dt / PEAK, 3)
 
         # fwd+bwd (x-grad only; SDS backprops through the VAE, the UNet
         # itself is frozen, but XLA still differentiates the latents
-        # path -> dgrad convs, no wgrad)
+        # path -> dgrad convs, no wgrad). grad(x) is shape-preserving
+        # in x, so it chains the same way.
         conv = ConvOnly(C=C, dtype=jnp.bfloat16)
         p = conv.init(key, x)
-        fb = jax.jit(jax.grad(lambda x, p: jnp.sum(
-            conv.apply(p, x.astype(jnp.bfloat16)).astype(jnp.float32))))
-        dt = bench(fb, x, p)
-        row["conv_bf16_fwd_xgrad_ms"] = round(dt * 1e3, 2)
+        gradfn = jax.grad(lambda x, p: jnp.sum(
+            conv.apply(p, x.astype(jnp.bfloat16)).astype(jnp.float32)))
+        dt = bench_scanned(lambda c, p=p: gradfn(c, p),
+                           x, K=16)
+        row["conv_bf16_fwd_xgrad_ms"] = round(dt * 1e3, 3)
         row["conv_bf16_fwd_xgrad_tflops"] = round(
             2 * flops_fwd / dt / 1e12, 1)
 
         # GN+SiLU+conv: the norm/act tax
         gnc = GnSiluConv(C=C, dtype=jnp.bfloat16)
         p = gnc.init(key, x)
-        f = jax.jit(lambda p, x: jnp.sum(
-            gnc.apply(p, x).astype(jnp.float32)))
-        dt = bench(f, p, x)
-        row["gn_silu_conv_bf16_ms"] = round(dt * 1e3, 2)
+        dt = bench_scanned(lambda c, p=p: gnc.apply(p, c), x)
+        row["gn_silu_conv_bf16_ms"] = round(dt * 1e3, 3)
         base = row.get("conv_bf16_ms")
         if base:
             row["gn_silu_tax_ms"] = round(row["gn_silu_conv_bf16_ms"]
-                                          - base, 2)
+                                          - base, 3)
 
         # matmul twin: same GEMM as the conv's im2col form
-        # [B*H*W, C*9] @ [C*9, C]
-        a = jax.random.normal(key, (B * H * W, C * 9), jnp.bfloat16)
+        # [B*H*W, C*9] @ [C*9, C]. The chain re-tiles the [M, C] output
+        # back to [M, C*9] (one 2x47 MB HBM round-trip per iteration,
+        # ~0.1 ms at 819 GB/s — noted, not subtracted).
         b = jax.random.normal(key, (C * 9, C), jnp.bfloat16)
-        mm = jax.jit(lambda a, b: jnp.sum(
-            jnp.dot(a, b, preferred_element_type=jnp.float32)))
-        dt = bench(mm, a, b)
-        row["matmul_twin_ms"] = round(dt * 1e3, 2)
+        a0 = jax.random.normal(key, (B * H * W, C * 9), jnp.bfloat16)
+        dt = bench_scanned(
+            lambda a, b=b: jnp.tile(
+                jnp.dot(a, b, preferred_element_type=jnp.float32)
+                .astype(jnp.bfloat16), (1, 9)),
+            a0)
+        row["matmul_twin_ms"] = round(dt * 1e3, 3)
         row["matmul_twin_tflops"] = round(flops_fwd / dt / 1e12, 1)
 
         print(json.dumps(row), flush=True)
