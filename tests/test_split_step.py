@@ -45,6 +45,11 @@ CFG_KW = dict(
     hash_levels=4,
     log2_hashmap_size=12,
     desired_resolution=64,
+    # per-sample shading: the encode split cannot take the deferred
+    # branch (renderer deferred gate requires the plain evaluators), so
+    # fused-vs-split parity is only defined with deferred off (the
+    # round-5 default flip broke this test until pinned)
+    deferred_shading=False,
     albedo_iters=0,        # novel steps go shaded immediately
     diff_iters=10_000,
     iters=50,
