@@ -1232,30 +1232,34 @@ class Trainer:
         plan = (plan_tiles(H, W, B)
                 if (getattr(cfg, "eval_tile", True)
                     and getattr(cfg, "eval_aabb_skip", True)) else None)
-        grid_eval = self.grid
+        # Eval renders ALWAYS march the dust-filtered occupancy
+        # (independent of which program renders the frame): orbit
+        # frames must be consistent — floaters culled everywhere or
+        # nowhere, never per-tile — and the refine stage's point cloud
+        # is fused from these very renders (dust_filter_occ docstring:
+        # the exporter's keep-rule, eval-only; training never filters).
+        occ_f = self._eval_occ_filtered()
+        grid_eval = (self.grid if occ_f is self.grid.occ
+                     else self.grid._replace(occ=occ_f))
         tiled = False
         if plan is not None:
             # Host-side per-frame decision: the skip program only pays
-            # when tiles actually skip. Dust-filter the occupancy (a
-            # single stray cell pins the box at the full bound), fetch
-            # the occupied AABB ([6] floats) and count skippable tiles
+            # when tiles actually skip. Fetch the occupied AABB ([6]
+            # floats) of the filtered occupancy (a single stray cell
+            # pins the box at the full bound) and count skippable tiles
             # with the numpy mirror of the device slab test; below 10%
             # skippable, the plain scanline program is faster (the cond
             # + tile padding cost +15% on a dense grid,
             # probe_eval_skip.py — early training starts fully
-            # occupied).
-            occ_f = self._eval_occ_filtered()
+            # occupied; and the reference's radius-1.0 fov-20 test
+            # cameras give close-up frames where nothing skips,
+            # TPU_NOTES round 5).
             box = np.asarray(self._occupied_aabb_jit(occ_f))
             frac = plan.skippable_frac(box, view.rays_o, view.rays_d,
                                        cfg.min_near)
             tiled = frac >= 0.1
         self._last_eval_used_skip = tiled  # observability / tests
         if tiled:
-            # the render marches the dust-filtered occupancy so the
-            # frame is consistent: sub-threshold floaters are culled
-            # everywhere, not just in skipped tiles (dust_filter_occ
-            # docstring: the exporter's keep-rule, eval-only)
-            grid_eval = self.grid._replace(occ=self._eval_occ_filtered())
             n_chunks = plan.n_chunks
             ro = plan.tile_up(view.rays_o, 3)
             rd = plan.tile_up(view.rays_d, 3)
