@@ -53,17 +53,26 @@ def load_snapshot_grid(cfg):
     paths = sorted(glob.glob("results/*/checkpoints/*.ckpt"),
                    key=os.path.getmtime)
     tmpl = init_density_grid(cfg.cascade, cfg.grid_size)
+    # Prefer the MOST-TRAINED grid, not the most recent file: a smoke or
+    # verify workspace written minutes ago (1 epoch, near-init grid) must
+    # not displace a converged asset as the bench's occupancy regime
+    # (round-5 fix: BENCH_r05's first run picked verify_r5_cpu over the
+    # 2000-step teddy_r5 on mtime alone).
+    best = (None, None, -1)
     for path in reversed(paths):
         try:
             with open(path, "rb") as f:
                 raw = serialization.msgpack_restore(f.read())
+            step = int(raw.get("global_step", 0))
+            if step <= best[2]:
+                continue
             grid = DensityGrid(
                 *serialization.from_state_dict(tmpl, raw["grid"]))
             if grid.occ.shape == tmpl.occ.shape:
-                return grid, path
+                best = (grid, path, step)
         except Exception:
             continue
-    return None, None
+    return best[0], best[1]
 
 
 def measure_flops(fn, params, opt_state, grid, key, batch):
