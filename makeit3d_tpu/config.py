@@ -193,6 +193,14 @@ class Config:
     # the tile skip never fires (round-4 verdict weak #7). 0 disables.
     # Training always marches the unfiltered grid.
     eval_dust_frac: float = 0.005
+    # Eval-time reference-view first-hit filter (opt-in, demo assets):
+    # keep only occupancy components first-hit by a ray bundle from the
+    # supervised front view (ops/grid.ref_hit_filter_occ). Guidance-free
+    # assets grow junk whose density AND size match the object's, so the
+    # relative-size dust rule cannot separate them (TPU_NOTES round 5);
+    # first-hit visibility from the one supervised camera can. Applied
+    # after the dust filter; training is never filtered.
+    eval_ref_hit: bool = False
     # occupancy grid resolution (reference: renderer.py:106 grid_size=128)
     grid_size: int = 128
     # hash encoding (reference: nerf/network_tcnn.py:54-65)

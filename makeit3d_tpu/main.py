@@ -129,6 +129,16 @@ def parse_args(argv=None):
                         "orbit renders for guidance-free demo assets "
                         "(culls feature-aliasing junk, TPU_NOTES round "
                         "5); 0 disables. Training is never filtered")
+    p.add_argument("--eval_ref_hit", action="store_true",
+                   default=d.eval_ref_hit,
+                   help="eval-time reference-view first-hit filter: keep "
+                        "only occupancy components first-hit by rays "
+                        "from the supervised front view (the object, by "
+                        "the single-image task's definition). Culls "
+                        "junk the relative-size dust rule cannot "
+                        "(guidance-free junk matches the object's "
+                        "density and size, TPU_NOTES round 5). Training "
+                        "is never filtered")
     p.add_argument("--sd_weights", type=str, default=None,
                    help="local diffusers-layout weight dir")
     p.add_argument("--clip_weights", type=str, default=None)

@@ -260,6 +260,95 @@ def dust_filter_occ(occ, min_component_frac: float = 0.005):
     return out, dropped
 
 
+def ref_hit_filter_occ(occ, rays_o, rays_d, bound: float,
+                       n_steps: int = 384, min_near: float = 0.05):
+    """HOST-side eval filter: keep only occupancy components FIRST-HIT
+    by the supervised reference-view rays.
+
+    The single-image task defines the object as what the reference
+    camera sees (the front view is the only photometrically supervised
+    view, reference nerf/utils.py:554-559). Guidance-free assets grow
+    aliased junk in never-supervised regions whose density matches the
+    object's (docs/TPU_NOTES.md round 5), so no size/threshold rule can
+    separate them — `dust_filter_occ`'s largest-component keep-rule
+    keeps (or even prefers) junk slabs. First-hit from the reference
+    view can: junk inside the front frustum in FRONT of the object
+    would have been photometrically erased; junk BEHIND the object is
+    occluded (never first-hit); junk OUTSIDE the cone is never hit at
+    all. What remains is exactly the component(s) forming the supervised
+    surface.
+
+    occ: [C, H, H, H] uint8; rays_o/rays_d: [R, 3] reference-view ray
+    bundle (host). Per cascade, 6-connected components; a ray marches
+    host-side through the mip structure (same level convention as
+    occupancy_lookup / raymarching.cu mip_from_pos) and records the
+    component of its first occupied cell. Components never first-hit
+    are zeroed; cascades with no hits at all are left untouched
+    (conservative). Returns (filtered uint8 numpy, n_dropped_cells).
+
+    EVAL-ONLY, opt-in (Config.eval_ref_hit) — training and the
+    production default never filter; same policy as dust_filter_occ.
+    """
+    import numpy as np
+
+    occ_np = np.asarray(occ, np.uint8)
+    try:
+        from scipy import ndimage
+    except ImportError:  # scipy is baked in; belt and braces
+        return occ_np, 0
+    C, H = occ_np.shape[0], occ_np.shape[-1]
+    labs = [ndimage.label(occ_np[c] > 0)[0] for c in range(C)]
+
+    o = np.asarray(rays_o, np.float64).reshape(-1, 3)
+    d = np.asarray(rays_d, np.float64).reshape(-1, 3)
+    d = d / np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-12)
+    bb = min(2.0 ** (C - 1), bound) if C > 1 else bound
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t1 = (-bb - o) / d
+        t2 = (bb - o) / d
+    tn = np.maximum(np.nanmax(np.minimum(t1, t2), axis=1), min_near)
+    tf = np.nanmin(np.maximum(t1, t2), axis=1)
+    valid = tf > tn
+    ts = tn[:, None] + (tf - tn)[:, None] * (
+        (np.arange(n_steps) + 0.5) / n_steps)
+    x = o[:, None, :] + d[:, None, :] * ts[..., None]          # [R,S,3]
+    amax = np.abs(x).max(axis=2)
+    if C > 1:
+        with np.errstate(divide="ignore"):
+            cidx = np.clip(np.ceil(np.log2(np.maximum(amax, 1e-8))),
+                           0, C - 1).astype(np.int32)
+    else:
+        cidx = np.zeros(amax.shape, np.int32)
+    mb = np.minimum(2.0 ** cidx.astype(np.float64), bound)
+    cell = np.clip((0.5 * (x / mb[..., None] + 1.0) * H).astype(np.int64),
+                   0, H - 1)
+    lab_at = np.zeros(x.shape[:2], np.int64)
+    for c in range(C):
+        m = cidx == c
+        if m.any():
+            lab_at[m] = labs[c][cell[..., 0][m], cell[..., 1][m],
+                                cell[..., 2][m]]
+    lab_at[~valid] = 0
+    hit = lab_at > 0
+    has = hit.any(axis=1)
+    if not has.any():
+        return occ_np, 0
+    first = hit.argmax(axis=1)
+    rows = np.nonzero(has)[0]
+    keep = [set() for _ in range(C)]
+    for c, l in zip(cidx[rows, first[rows]], lab_at[rows, first[rows]]):
+        keep[int(c)].add(int(l))
+    out = occ_np.copy()
+    dropped = 0
+    for c in range(C):
+        if not keep[c]:
+            continue  # no first-hit in this cascade: leave it untouched
+        kill = ~np.isin(labs[c], sorted(keep[c])) & (occ_np[c] > 0)
+        dropped += int(kill.sum())
+        out[c][kill] = 0
+    return out, dropped
+
+
 def occupancy_lookup(
     occ: jnp.ndarray, xyz: jnp.ndarray, bound: float
 ) -> jnp.ndarray:

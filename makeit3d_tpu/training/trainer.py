@@ -1201,14 +1201,34 @@ class Trainer:
         against the same grid)."""
         occ = self.grid.occ
         frac = float(getattr(self.cfg, "eval_dust_frac", 0.0))
-        if frac <= 0.0:
+        ref_hit = bool(getattr(self.cfg, "eval_ref_hit", False))
+        if frac <= 0.0 and not ref_hit:
             return occ
         cache = getattr(self, "_eval_occ_cache", None)
         if cache is not None and cache[0] is occ:
             return cache[1]
-        from ..ops.grid import dust_filter_occ
+        from ..ops.grid import dust_filter_occ, ref_hit_filter_occ
 
         filtered, dropped = dust_filter_occ(np.asarray(occ), frac)
+        if ref_hit:
+            # First-hit visibility from the supervised front view: the
+            # single-image task defines the object as what the reference
+            # camera sees (ref_hit_filter_occ docstring; fix_poses front
+            # branch = the exact pose of every supervised train step).
+            from ..cameras import fix_poses, get_rays, intrinsics_from_fov
+
+            _, _, poses, _, _ = fix_poses(
+                1, 0, np.random.default_rng(0),
+                radius_range=self.cfg.radius_range,
+                theta_range=self.cfg.theta_range,
+                phi_range=self.cfg.phi_range,
+            )
+            rb = get_rays(poses, intrinsics_from_fov(self.cfg.fov, 64, 64),
+                          64, 64)
+            filtered, rh_dropped = ref_hit_filter_occ(
+                filtered, np.asarray(rb["rays_o"][0]),
+                np.asarray(rb["rays_d"][0]), self.cfg.bound)
+            dropped += rh_dropped
         filtered_dev = jnp.asarray(filtered)
         self._eval_occ_cache = (occ, filtered_dev)
         self._eval_dust_dropped = dropped  # observability / tests
