@@ -185,6 +185,11 @@ def main():
     def remaining():
         return budget_s - (time.time() - bench_t0)
 
+    def mark(label):
+        # phase-boundary telemetry: where the budget actually goes
+        # (round-5: hash/mv/multi-asset starved even with a warm cache)
+        print(f"[bench] t={time.time() - bench_t0:.0f}s {label}", flush=True)
+
     from makeit3d_tpu.cameras import ViewSampler
     from makeit3d_tpu.config import Config
     from makeit3d_tpu.models.field import (
@@ -357,6 +362,7 @@ def main():
         "mfu_hot_program": mfu_hot,
         "grid_source": grid_source,
     })
+    mark("coarse done")
 
     # ==== TRACKED PHASES ====================================================
     # The driver tracks five metrics: coarse (above), sds, eval_frame,
@@ -528,6 +534,7 @@ def main():
                 # the tracked metric lands in the report the moment it
                 # exists — the mv add-on below must not hold it hostage
                 report["sds_iters_per_sec"] = round(ips, 3)
+                mark("sds done")
                 if fl:
                     report["sds_mfu"] = round(
                         fl * ips / V5E_PEAK_FLOPS, 4)
@@ -669,6 +676,7 @@ def main():
         report["eval_frame_800_ms"] = round(
             (time.time() - t0) / n_f * 1000.0, 1)
         add_note(report, f"eval program={'tiled_skip' if use_skip else 'plain'}")
+        mark("eval done")
     except Exception as e:
         print(f"[bench] eval phase skipped: {type(e).__name__}: {e}")
 
@@ -718,6 +726,7 @@ def main():
             rparams, ropt_state, rm, _ = rstep(rparams, ropt_state, *rargs)
         _ = float(np.asarray(rm["loss"]))
         report["refine_iters_per_sec"] = round(n_r / (time.time() - t0), 3)
+        mark("refine done")
         add_note(report, "refine step: full novel-view losses "
                          "(SDS gs=5 + 10*CLIP + CX + bg + anchors)"
                  if guidance_obj is not None else
@@ -796,6 +805,7 @@ def main():
             report["hash_albedo_iters_per_sec"] = legs[best]
             add_note(report, "hash A/B " + ", ".join(
                 f"{k}={v}" for k, v in legs.items()) + f"; best={best}")
+            mark("hash done")
     except Exception as e:
         print(f"[bench] hash phase skipped: {type(e).__name__}: {e}")
         time.sleep(10.0)  # if the worker faulted, let it respawn
@@ -860,6 +870,7 @@ def main():
         _ = float(np.asarray(vm["loss"]).sum())
         report["multi_asset_2x_steps_per_sec"] = round(
             n_v * A / (time.time() - t0), 3)
+        mark("multi-asset done")
     except Exception as e:
         print(f"[bench] multi-asset phase skipped: {type(e).__name__}: {e}")
 
