@@ -261,7 +261,8 @@ def dust_filter_occ(occ, min_component_frac: float = 0.005):
 
 
 def ref_hit_filter_occ(occ, rays_o, rays_d, bound: float,
-                       n_steps: int = 384, min_near: float = 0.05):
+                       n_steps: int = 384, min_near: float = 0.05,
+                       opening: int = 1):
     """HOST-side eval filter: keep only occupancy components FIRST-HIT
     by the supervised reference-view rays.
 
@@ -286,6 +287,17 @@ def ref_hit_filter_occ(occ, rays_o, rays_d, bound: float,
     are zeroed; cascades with no hits at all are left untouched
     (conservative). Returns (filtered uint8 numpy, n_dropped_cells).
 
+    `opening`: morphological opening radius (cells) applied to the
+    component analysis ONLY. Junk CONNECTED to the object through thin
+    bridges defeats plain connected components (measured on the round-5
+    teddy: one 10.6k-cell component contains both the object and two
+    aliasing replicas displaced by 2x the freq-band pitch; a 1-cell
+    erosion separates them cleanly). With opening=k the grid is eroded
+    k cells before labeling, the ray march runs on the eroded grid, and
+    kept components are dilated k+1 cells (boundary restoration) before
+    intersecting the original occupancy. opening=0 restores the plain
+    component rule.
+
     EVAL-ONLY, opt-in (Config.eval_ref_hit) — training and the
     production default never filter; same policy as dust_filter_occ.
     """
@@ -297,7 +309,16 @@ def ref_hit_filter_occ(occ, rays_o, rays_d, bound: float,
     except ImportError:  # scipy is baked in; belt and braces
         return occ_np, 0
     C, H = occ_np.shape[0], occ_np.shape[-1]
-    labs = [ndimage.label(occ_np[c] > 0)[0] for c in range(C)]
+    if opening > 0:
+        cores = [ndimage.binary_erosion(occ_np[c] > 0, iterations=opening)
+                 for c in range(C)]
+        # erosion can wipe a cascade entirely (thin geometry): fall back
+        # to the un-eroded cells there rather than blanking the render
+        cores = [cr if cr.any() else (occ_np[c] > 0)
+                 for c, cr in enumerate(cores)]
+    else:
+        cores = [occ_np[c] > 0 for c in range(C)]
+    labs = [ndimage.label(cr)[0] for cr in cores]
 
     o = np.asarray(rays_o, np.float64).reshape(-1, 3)
     d = np.asarray(rays_d, np.float64).reshape(-1, 3)
@@ -343,7 +364,15 @@ def ref_hit_filter_occ(occ, rays_o, rays_d, bound: float,
     for c in range(C):
         if not keep[c]:
             continue  # no first-hit in this cascade: leave it untouched
-        kill = ~np.isin(labs[c], sorted(keep[c])) & (occ_np[c] > 0)
+        kept = np.isin(labs[c], sorted(keep[c]))
+        if opening > 0:
+            # full 3^3 structure (Chebyshev ball): the default cross
+            # dilation reaches only Manhattan distance and misses the
+            # corners of boundary cells the erosion removed
+            kept = ndimage.binary_dilation(
+                kept, structure=np.ones((3, 3, 3), bool),
+                iterations=opening + 1)
+        kill = ~kept & (occ_np[c] > 0)
         dropped += int(kill.sum())
         out[c][kill] = 0
     return out, dropped

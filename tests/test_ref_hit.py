@@ -81,3 +81,30 @@ class TestRefHitFilter:
         out, dropped = ref_hit_filter_occ(occ, o, d, bound=2.0)
         assert out[1][2, 2, 2] == 1
         assert out[0].sum() == occ[0].sum()
+
+    def test_opening_breaks_thin_bridges(self):
+        """Junk connected to the object through a 1-cell bridge is a
+        single component; opening=1 must still cull it (the round-5
+        measured failure mode: the converged teddy shares a component
+        with its aliasing replicas)."""
+        H = 64
+        occ = np.zeros((1, H, H, H), np.uint8)
+        _blob(occ, (-0.3, 0.0, 0.0), 4, H)   # A: object (first-hit)
+        _blob(occ, (0.0, 0.5, 0.0), 4, H)    # J: junk, off the bundle
+        a = tuple(int((c + 1) * 0.5 * H) for c in (-0.3, 0.0, 0.0))
+        j = tuple(int((c + 1) * 0.5 * H) for c in (0.0, 0.5, 0.0))
+        # 1-cell 6-connected bridge: axis-0 run, then axis-1 run (a
+        # diagonal line is NOT 6-connected and would not merge the
+        # components in the first place)
+        for x in range(a[0], j[0] + 1):
+            occ[0][x, a[1], a[2]] = 1
+        for y in range(a[1], j[1] + 1):
+            occ[0][j[0], y, a[2]] = 1
+        o, d = _bundle()
+        out, dropped = ref_hit_filter_occ(occ, o, d, bound=1.0)
+        assert out[0][a] == 1           # object kept
+        assert out[0][j] == 0           # bridged junk culled
+        # plain component rule (opening=0) keeps the junk: the bridge
+        # merges them into one component
+        out0, _ = ref_hit_filter_occ(occ, o, d, bound=1.0, opening=0)
+        assert out0[0][j] == 1
