@@ -201,6 +201,14 @@ class Config:
     # first-hit visibility from the one supervised camera can. Applied
     # after the dust filter; training is never filtered.
     eval_ref_hit: bool = False
+    # Marching mode for the occupancy render: "occupancy" (reference
+    # run_cuda semantics — compacted lattice, per-sample grid lookups)
+    # or "boxed" (gather-free: uniform samples inside the per-ray
+    # occupied-AABB segment). The occupancy probes are the coarse
+    # step's largest cost at the XLA gather ceiling (docs/TPU_NOTES.md);
+    # boxed trades them for in-box empty-space field evals. Opt-in
+    # until the march-mode A/B clears the seeded noise floor.
+    march_mode: str = "occupancy"
     # occupancy grid resolution (reference: renderer.py:106 grid_size=128)
     grid_size: int = 128
     # hash encoding (reference: nerf/network_tcnn.py:54-65)

@@ -139,6 +139,12 @@ def parse_args(argv=None):
                         "(guidance-free junk matches the object's "
                         "density and size, TPU_NOTES round 5). Training "
                         "is never filtered")
+    p.add_argument("--march_mode", type=str, default=d.march_mode,
+                   choices=["occupancy", "boxed"],
+                   help="occupancy = reference-semantics compacted "
+                        "lattice march; boxed = gather-free uniform "
+                        "sampling inside the per-ray occupied-AABB "
+                        "segment (see Config.march_mode)")
     p.add_argument("--sd_weights", type=str, default=None,
                    help="local diffusers-layout weight dir")
     p.add_argument("--clip_weights", type=str, default=None)

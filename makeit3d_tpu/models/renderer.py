@@ -22,7 +22,9 @@ import jax.numpy as jnp
 
 from ..ops.composite import composite_rays, composite_weights_only
 from ..ops.grid import DensityGrid
-from ..ops.marching import march_rays, near_far_from_aabb, near_far_from_bound
+from ..ops.marching import (
+    march_rays, march_rays_boxed, near_far_from_aabb, near_far_from_bound,
+)
 from ..ops.sample_pdf import sample_pdf
 from .field import (
     apply_field_chunked,
@@ -63,6 +65,12 @@ class RenderSettings:
     # valid samples as results["loss_sigma_cap"].
     sigma_cap_log: float = 9.0
     field_chunk: int = 1 << 17    # samples per rematerialized field chunk
+    # "occupancy" = compacted lattice march (reference run_cuda
+    # semantics); "boxed" = gather-free uniform sampling inside the
+    # per-ray occupied-AABB segment (ops/marching.march_rays_boxed —
+    # trades the ~65-90 ms/step of occupancy-probe gathers for in-box
+    # empty-space field evals; the march-mode A/B prices the quality)
+    march_mode: str = "occupancy"
     # Training-path compositor backend. None = auto (Pallas on TPU). The
     # Pallas kernel pair (ops/pallas/composite.py) mirrors the CUDA
     # fwd/bwd (raymarching.cu:500-693) and keeps the composite out of
@@ -83,6 +91,7 @@ class RenderSettings:
             smooth_subset=getattr(cfg, "smooth_subset", 1.0),
             deferred_shading=bool(getattr(cfg, "deferred_shading", False)),
             sigma_cap_log=getattr(cfg, "sigma_cap_log", 9.0),
+            march_mode=getattr(cfg, "march_mode", "occupancy"),
         )
 
 
@@ -145,6 +154,14 @@ def render_occupancy(
 
     if marched is not None:
         m = marched
+    elif s.march_mode == "boxed":
+        from ..ops.grid import occupied_aabb
+
+        m = march_rays_boxed(
+            rays_o, rays_d, occupied_aabb(grid.occ, s.bound), nears, fars,
+            n_samples=s.n_samples, perturb=perturb, key=k_march,
+            min_near=s.min_near,
+        )
     else:
         m = march_rays(
             rays_o, rays_d, grid.occ, s.bound, nears, fars,

@@ -134,6 +134,65 @@ class MarchedRays(NamedTuple):
     valid: jnp.ndarray   # [N, S]   bool
 
 
+def march_rays_boxed(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    box: jnp.ndarray,
+    nears: jnp.ndarray,
+    fars: jnp.ndarray,
+    n_samples: int = 96,
+    perturb: bool = False,
+    key: Optional[jax.Array] = None,
+    min_near: float = 0.05,
+) -> MarchedRays:
+    """Gather-free marching: uniform samples inside the per-ray
+    intersection with the occupied-cell AABB.
+
+    The occupancy march's probe gathers are the coarse step's single
+    largest cost (~65-90 ms/step at the XLA gather ceiling of ~125M
+    rows/s, docs/TPU_NOTES.md — a platform bound, not a fusion gap).
+    This mode replaces all of them with ONE slab test per ray against
+    `box` (occupied_aabb of the live grid, [6]) and places the S-sample
+    budget uniformly in [max(near, box_near), min(far, box_far)] —
+    pure arithmetic, zero occupancy lookups. Per-sample dt becomes the
+    per-ray segment length (variable, like the reference's pure path
+    renderer.py:358-413) instead of the occupancy lattice's constant
+    dt; empty pockets INSIDE the box are sampled (and cost field evals
+    the compacted march would have skipped spending elsewhere), which
+    is the quality trade the march-mode A/B prices.
+
+    Degenerate boxes (empty grid: lo == hi) and missing rays produce
+    valid=False rows, composited to pure background.
+    """
+    N = rays_o.shape[0]
+    S = n_samples
+    b_near, b_far = near_far_from_aabb(rays_o, rays_d, box, min_near)
+    t0 = jnp.maximum(nears, b_near)
+    t1 = jnp.minimum(fars, b_far)
+    hit = t1 > t0
+    seg = jnp.where(hit, (t1 - t0) / S, 0.0)  # [N]
+    if perturb:
+        assert key is not None
+        noise = jax.random.uniform(key, (N, 1))
+    else:
+        noise = jnp.zeros((N, 1))
+    k = jnp.arange(S, dtype=jnp.float32)[None, :]
+    t_s = t0[:, None] + (k + noise) * seg[:, None]  # [N, S]
+    valid = jnp.broadcast_to(hit[:, None], (N, S))
+    xyzs = rays_o[:, None, :] + rays_d[:, None, :] * t_s[..., None]
+    bound_arr = jnp.maximum(jnp.abs(box[:3]), jnp.abs(box[3:])).max()
+    xyzs = jnp.clip(xyzs, -bound_arr, bound_arr)
+    dirs = jnp.broadcast_to(rays_d[:, None, :], (N, S, 3))
+    dts = jnp.where(valid, seg[:, None], 0.0)
+    prev = jnp.concatenate(
+        [t0[:, None] + (noise - 1.0) * seg[:, None], t_s[:, :-1]], axis=-1)
+    real_dts = jnp.where(valid, t_s - prev, 0.0)
+    return MarchedRays(
+        xyzs=xyzs, dirs=dirs, ts=t_s, dts=dts, real_dts=real_dts,
+        valid=valid,
+    )
+
+
 def march_rays(
     rays_o: jnp.ndarray,
     rays_d: jnp.ndarray,
