@@ -201,14 +201,22 @@ class Config:
     # first-hit visibility from the one supervised camera can. Applied
     # after the dust filter; training is never filtered.
     eval_ref_hit: bool = False
-    # Marching mode for the occupancy render: "occupancy" (reference
-    # run_cuda semantics — compacted lattice, per-sample grid lookups)
-    # or "boxed" (gather-free: uniform samples inside the per-ray
-    # occupied-AABB segment). The occupancy probes are the coarse
-    # step's largest cost at the XLA gather ceiling (docs/TPU_NOTES.md);
-    # boxed trades them for in-box empty-space field evals. Opt-in
-    # until the march-mode A/B clears the seeded noise floor.
-    march_mode: str = "occupancy"
+    # TRAINING marching mode: "boxed" (default since round 5) =
+    # gather-free uniform sampling inside the per-ray occupied-AABB
+    # segment; "occupancy" = the reference's run_cuda semantics
+    # (compacted lattice, per-sample grid lookups). The occupancy
+    # probes are the coarse step's largest cost at the XLA gather
+    # ceiling (~125M rows/s, a platform bound — docs/TPU_NOTES.md);
+    # boxed removes every one of them: measured 142 -> 80 ms on ALL
+    # three schedule programs (probe_march_mode.py, projected mixed
+    # 7.0 -> 12.5 it/s) with front quality equal within the seeded
+    # A/B's noise floor (boxed 18.65 +- 1.25 dB / 0.802 SSIM vs
+    # per-occupancy 18.96 +- 0.86 / 0.793; results/log_ab_boxed_r5.txt).
+    # EVAL/test renders always keep occupancy marching (reference-exact
+    # sample placement, the fidelity-harness anchor) regardless of this
+    # knob — see RenderSettings.from_config. Set "occupancy" to train
+    # with the reference's compacted-lattice semantics.
+    march_mode: str = "boxed"
     # occupancy grid resolution (reference: renderer.py:106 grid_size=128)
     grid_size: int = 128
     # hash encoding (reference: nerf/network_tcnn.py:54-65)

@@ -91,7 +91,12 @@ class RenderSettings:
             smooth_subset=getattr(cfg, "smooth_subset", 1.0),
             deferred_shading=bool(getattr(cfg, "deferred_shading", False)),
             sigma_cap_log=getattr(cfg, "sigma_cap_log", 9.0),
-            march_mode=getattr(cfg, "march_mode", "occupancy"),
+            # eval/test renders keep the reference-exact occupancy
+            # march regardless of the training knob: eval sample
+            # placement is the fidelity anchor (BASELINE.md) and the
+            # tile-skip machinery's contract
+            march_mode=(getattr(cfg, "march_mode", "occupancy")
+                        if training else "occupancy"),
         )
 
 
