@@ -462,6 +462,16 @@ def march_stage(
     s = settings
     aabb = jnp.asarray([-s.bound] * 3 + [s.bound] * 3, jnp.float32)
     nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, s.min_near)
+    if s.march_mode == "boxed":
+        # mirror render_occupancy's boxed branch exactly (same box, same
+        # key use) so the split-vs-fused parity contract holds bitwise
+        from ..ops.grid import occupied_aabb
+
+        return march_rays_boxed(
+            rays_o, rays_d, occupied_aabb(grid.occ, s.bound), nears, fars,
+            n_samples=s.n_samples, perturb=perturb, key=key,
+            min_near=s.min_near,
+        )
     return march_rays(
         rays_o, rays_d, grid.occ, s.bound, nears, fars,
         max_steps=s.max_steps, n_samples=s.n_samples,
