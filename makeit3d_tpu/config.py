@@ -217,6 +217,13 @@ class Config:
     # knob — see RenderSettings.from_config. Set "occupancy" to train
     # with the reference's compacted-lattice semantics.
     march_mode: str = "boxed"
+    # Opt-in: let EVAL/test renders use the boxed march too. Off by
+    # default — eval sample placement is the fidelity-harness anchor
+    # and the reference-parity surface; turn on for demo orbits where
+    # frame latency matters more (the 800² eval frame is ~half march
+    # gathers, TPU_NOTES). scripts/fidelity.py prices the oracle
+    # agreement of the boxed eval before trusting it.
+    eval_march_boxed: bool = False
     # occupancy grid resolution (reference: renderer.py:106 grid_size=128)
     grid_size: int = 128
     # hash encoding (reference: nerf/network_tcnn.py:54-65)

@@ -145,6 +145,11 @@ def parse_args(argv=None):
                         "lattice march; boxed = gather-free uniform "
                         "sampling inside the per-ray occupied-AABB "
                         "segment (see Config.march_mode)")
+    p.add_argument("--eval_march_boxed", action="store_true",
+                   default=d.eval_march_boxed,
+                   help="let eval/test renders use the gather-free boxed "
+                        "march too (default keeps reference-exact "
+                        "occupancy eval marching; see Config)")
     p.add_argument("--sd_weights", type=str, default=None,
                    help="local diffusers-layout weight dir")
     p.add_argument("--clip_weights", type=str, default=None)

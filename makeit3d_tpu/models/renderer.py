@@ -92,11 +92,13 @@ class RenderSettings:
             deferred_shading=bool(getattr(cfg, "deferred_shading", False)),
             sigma_cap_log=getattr(cfg, "sigma_cap_log", 9.0),
             # eval/test renders keep the reference-exact occupancy
-            # march regardless of the training knob: eval sample
-            # placement is the fidelity anchor (BASELINE.md) and the
-            # tile-skip machinery's contract
+            # march regardless of the training knob (eval sample
+            # placement is the fidelity anchor and the tile-skip
+            # machinery's contract) unless eval_march_boxed opts in
             march_mode=(getattr(cfg, "march_mode", "occupancy")
-                        if training else "occupancy"),
+                        if training else
+                        ("boxed" if getattr(cfg, "eval_march_boxed",
+                                            False) else "occupancy")),
         )
 
 

@@ -36,7 +36,11 @@ def main():
                  # DRIVE_DUST=0.5 = dominant-component eval filter (cull
                  # aliasing junk on guidance-free assets; TPU_NOTES r5)
                  eval_dust_frac=float(os.environ.get("DRIVE_DUST",
-                                                     "0.005")))
+                                                     "0.005")),
+                 # DRIVE_EVAL_BOXED=1: time the gather-free boxed EVAL
+                 # march (Config.eval_march_boxed) on the same frame
+                 eval_march_boxed=os.environ.get("DRIVE_EVAL_BOXED") == "1",
+                 eval_ref_hit=os.environ.get("DRIVE_REF_HIT") == "1")
     tr = Trainer(cfg, name="drive", use_checkpoint=ckpt)
 
     view = ViewSampler(cfg, type="test", H=res, W=res, size=8, seed=0).get(0)

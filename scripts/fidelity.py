@@ -48,7 +48,11 @@ def main():
     from makeit3d_tpu.utils.metrics import psnr, ssim
 
     cfg = Config(guidance="none", workspace="results/_fidelity_tmp",
-                 backbone=os.environ.get("FIDELITY_BACKBONE", "hashgrid"))
+                 backbone=os.environ.get("FIDELITY_BACKBONE", "hashgrid"),
+                 # FIDELITY_EVAL_BOXED=1 prices the boxed EVAL march's
+                 # agreement with the pure oracle (Config.eval_march_boxed)
+                 eval_march_boxed=os.environ.get(
+                     "FIDELITY_EVAL_BOXED") == "1")
     tr = Trainer(cfg, name="fidelity", use_checkpoint=ckpt)
     settings = RenderSettings.from_config(cfg, training=False)
     # perceptual distance column (round-1 verdict item 5: PSNR/LPIPS).
