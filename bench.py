@@ -759,57 +759,6 @@ def main():
     # Everything below is extra characterization: it runs only with
     # leftover budget and can never starve the tracked surface above.
 
-    # --- hash backbone (parity tier), albedo program, BOTH scatter
-    # impls in one process against the same grid snapshot (round-4
-    # verdict item 4: r02 recorded 0.095 it/s on the XLA path, r04
-    # recorded 0.048 on the sorted kernel — same metric, different
-    # impls/windows, never reconciled). Reports the winner as the
-    # tracked number with both legs in the note. ---
-    report["hash_albedo_iters_per_sec"] = None
-    try:
-        if os.environ.get("BENCH_SKIP_HASH") == "1":
-            raise RuntimeError("BENCH_SKIP_HASH=1")
-        if dt > 120.0:
-            raise RuntimeError("degraded relay window")
-        if remaining() < 240.0:
-            raise RuntimeError("budget exhausted")
-        legs = {}
-        for impl in ("sorted", "vjp"):
-            if impl != "sorted" and remaining() < 120.0:
-                break
-            hcfg = Config(guidance="none", backbone="hashgrid",
-                          scatter_impl=impl)
-            hfield = make_field(hcfg)
-            hparams = hfield.init(key, jnp.zeros((8, 3)),
-                                  jnp.zeros((8, 3)))
-            hopt = make_optimizer(hcfg, make_lr_schedule(hcfg))
-            hopt_state = hopt.init(hparams)
-            hstep = make_step_variant(
-                hcfg, hfield, hopt, settings, None, is_front=False,
-                shaded=False, with_sds=False)
-            hparams, hopt_state, hm, _ = hstep(hparams, hopt_state, grid,
-                                               key, novel_batch)
-            _ = float(np.asarray(hm["loss"]))
-            n_h = 3
-            t0 = time.time()
-            for _i in range(n_h):
-                hparams, hopt_state, hm, _ = hstep(hparams, hopt_state,
-                                                   grid, key, novel_batch)
-            _ = float(np.asarray(hm["loss"]))
-            legs[impl] = round(n_h / (time.time() - t0), 3)
-            print(f"[bench] hash leg {impl}: {legs[impl]} it/s",
-                  flush=True)
-            del hparams, hopt_state, hm, hstep  # free HBM
-        if legs:
-            best = max(legs, key=legs.get)
-            report["hash_albedo_iters_per_sec"] = legs[best]
-            add_note(report, "hash A/B " + ", ".join(
-                f"{k}={v}" for k, v in legs.items()) + f"; best={best}")
-            mark("hash done")
-    except Exception as e:
-        print(f"[bench] hash phase skipped: {type(e).__name__}: {e}")
-        time.sleep(10.0)  # if the worker faulted, let it respawn
-
     # --- multi-view batched SDS: B novel views through one vmapped
     # step — B-fold bigger UNet/VAE matmuls per dispatch. Runs under the
     # same attention impl as the single-view number it is compared
@@ -882,6 +831,57 @@ def main():
         "timing": "host-fetch barrier (block_until_ready unreliable on relay)",
         "device": str(jax.devices()[0]),
     })
+    # --- hash backbone (parity tier), albedo program, BOTH scatter
+    # impls in one process against the same grid snapshot (round-4
+    # verdict item 4: r02 recorded 0.095 it/s on the XLA path, r04
+    # recorded 0.048 on the sorted kernel — same metric, different
+    # impls/windows, never reconciled). Reports the winner as the
+    # tracked number with both legs in the note. ---
+    report["hash_albedo_iters_per_sec"] = None
+    try:
+        if os.environ.get("BENCH_SKIP_HASH") == "1":
+            raise RuntimeError("BENCH_SKIP_HASH=1")
+        if dt > 120.0:
+            raise RuntimeError("degraded relay window")
+        if remaining() < 240.0:
+            raise RuntimeError("budget exhausted")
+        legs = {}
+        for impl in ("sorted", "vjp"):
+            if impl != "sorted" and remaining() < 120.0:
+                break
+            hcfg = Config(guidance="none", backbone="hashgrid",
+                          scatter_impl=impl)
+            hfield = make_field(hcfg)
+            hparams = hfield.init(key, jnp.zeros((8, 3)),
+                                  jnp.zeros((8, 3)))
+            hopt = make_optimizer(hcfg, make_lr_schedule(hcfg))
+            hopt_state = hopt.init(hparams)
+            hstep = make_step_variant(
+                hcfg, hfield, hopt, settings, None, is_front=False,
+                shaded=False, with_sds=False)
+            hparams, hopt_state, hm, _ = hstep(hparams, hopt_state, grid,
+                                               key, novel_batch)
+            _ = float(np.asarray(hm["loss"]))
+            n_h = 3
+            t0 = time.time()
+            for _i in range(n_h):
+                hparams, hopt_state, hm, _ = hstep(hparams, hopt_state,
+                                                   grid, key, novel_batch)
+            _ = float(np.asarray(hm["loss"]))
+            legs[impl] = round(n_h / (time.time() - t0), 3)
+            print(f"[bench] hash leg {impl}: {legs[impl]} it/s",
+                  flush=True)
+            del hparams, hopt_state, hm, hstep  # free HBM
+        if legs:
+            best = max(legs, key=legs.get)
+            report["hash_albedo_iters_per_sec"] = legs[best]
+            add_note(report, "hash A/B " + ", ".join(
+                f"{k}={v}" for k, v in legs.items()) + f"; best={best}")
+            mark("hash done")
+    except Exception as e:
+        print(f"[bench] hash phase skipped: {type(e).__name__}: {e}")
+        time.sleep(10.0)  # if the worker faulted, let it respawn
+
     emit(report, status="ok")
 
 

@@ -64,14 +64,23 @@ from ..models.renderer import march_stage
 from ..ops.encoding import HashGridEncoder
 
 
-def resolve_scatter_impl(cfg) -> str:
+def resolve_scatter_impl(cfg, shaded: bool = True) -> str:
     """Which table-gradient scatter formulation the split uses.
-    None = auto: the Pallas sorted-segment-sum pipeline on TPU (beats
-    the XLA scatter-add ceiling ~2x), the pure-XLA vjp formulation
-    elsewhere (interpret-mode Pallas on CPU is orders slower)."""
+    None = auto, regime-dependent since round 5: the Pallas
+    sorted-segment-sum pipeline on TPU only for SHADED programs (the
+    7-probe row flood where it beats the XLA scatter-add ceiling
+    ~1.7x, TPU_NOTES round 4); the pure-XLA vjp formulation for albedo
+    programs and off-TPU. The round-5 same-process step A/B
+    (results/log_bench_r5_warm2.txt) showed the sorted path LOSES the
+    full 128^2 albedo step 2x (0.048 vs 0.095 it/s, same grid) — at
+    albedo row counts the radix sort dominates, and the fused XLA
+    albedo program both survives the v5e and wins. This also closes
+    the round-4 "0.095 -> 0.048 regression": it was the auto-impl
+    switch, not a perf loss."""
     impl = getattr(cfg, "scatter_impl", None)
     if impl is None:
-        impl = "sorted" if jax.default_backend() == "tpu" else "vjp"
+        impl = ("sorted" if (jax.default_backend() == "tpu" and shaded)
+                else "vjp")
     assert impl in ("sorted", "vjp"), impl
     return impl
 
@@ -198,7 +207,7 @@ def make_split_encode_step(cfg, field, optimizer, settings, guidance,
         jnp.float32)
     chunk = settings.field_chunk
 
-    scatter_impl = resolve_scatter_impl(cfg)
+    scatter_impl = resolve_scatter_impl(cfg, shaded=shaded)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def scatter_program(gtab, pos_slice, df_slice):

@@ -462,7 +462,7 @@ def make_step_variant(cfg, field, optimizer, settings, guidance, *,
     from .split_step import resolve_scatter_impl
 
     use_split = resolve_split_encode(cfg, field) and (
-        shaded or resolve_scatter_impl(cfg) == "sorted")
+        shaded or resolve_scatter_impl(cfg, shaded=shaded) == "sorted")
     if use_split:
         if shaded and getattr(cfg, "deferred_shading", False):
             # advisor r4 #4: the renderer's deferred branch requires the
