@@ -731,6 +731,11 @@ def main():
                          "(SDS gs=5 + 10*CLIP + CX + bg + anchors)"
                  if guidance_obj is not None else
                  "refine step: splat+UNet+CX subset (no SDS towers)")
+        # free the refine stage's HBM (point features + UNet + VGG/CX +
+        # optimizer states + jitted closures): left live, the mv/hash/
+        # multi-asset phases below RESOURCE_EXHAUST (log_bench_r5_warm3)
+        del rparams, ropt_state, ropt, rstep, _fwd, rargs, rm, anchors
+        del stage
     except Exception as e:
         print(f"[bench] refine phase skipped: {type(e).__name__}: {e}")
 
