@@ -736,6 +736,9 @@ def main():
         # multi-asset phases below RESOURCE_EXHAUST (log_bench_r5_warm3)
         del rparams, ropt_state, ropt, rstep, _fwd, rargs, rm, anchors
         del stage
+        import gc
+
+        gc.collect()  # executables capture the point cloud as constants
     except Exception as e:
         print(f"[bench] refine phase skipped: {type(e).__name__}: {e}")
 
