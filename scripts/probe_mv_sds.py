@@ -63,7 +63,11 @@ def main():
     )
 
     quick = "--quick" in sys.argv
-    cfg = Config(guidance="none", backbone="fourier")
+    # MV_MARCH_MODE=occupancy tests whether the boxed program's liveness
+    # is what pushes the B>=2 mv step past HBM (round-5: mv fit at B=4
+    # no-remat in r4 under occupancy; OOMs at B=2 under boxed)
+    cfg = Config(guidance="none", backbone="fourier",
+                 march_mode=os.environ.get("MV_MARCH_MODE", "boxed"))
     field = make_field(cfg)
     key = jax.random.PRNGKey(0)
     params = field.init(key, jnp.zeros((8, 3)), jnp.zeros((8, 3)))
