@@ -340,6 +340,17 @@ def make_multiview_step(cfg, field, optimizer, settings, guidance,
     OOM regime). Gradients are bitwise identical either way.
     """
     remat = resolve_mv_remat(remat, with_sds, guidance)
+    if mesh is None and getattr(settings, "march_mode", None) == "boxed":
+        # Single-chip VMAPPED multi-view: the boxed program's liveness
+        # pushes even B=2 past the v5e's 15.75G (measured round 5:
+        # boxed mv OOMs at B=2 no-remat while occupancy fits B=4 at
+        # 2.76 views/s — results/log_probe_mv_r5_occ.txt). Pin the
+        # occupancy march here; the SHARDED path (mesh given, 1-2
+        # views/device) keeps the configured mode — per-device it is
+        # the single-view memory profile that measurably fits.
+        import dataclasses as _dc
+
+        settings = _dc.replace(settings, march_mode="occupancy")
     loss_fn = build_loss_fn(cfg, field, settings, guidance, is_front=False,
                             shaded=shaded, with_sds=with_sds)
     axes = {k: (0 if k in MV_VIEW_KEYS else None) for k in

@@ -25,6 +25,11 @@ CFG_KW = dict(
     iters=50,
     guidance="none",
     backbone="fourier",
+    # the single-chip vmapped mv step pins the occupancy march (boxed
+    # liveness OOMs the v5e at B>=2, trainer.make_multiview_step); pin
+    # the whole test config so the grad-mean contract compares the mv
+    # step against single-view steps with IDENTICAL sample placement
+    march_mode="occupancy",
     mlp_hidden=32, mlp_layers=3, mlp_multires=4,
 )
 
